@@ -1,0 +1,71 @@
+"""Turn normalization: transcript rows -> kernel input columns.
+
+Pure column expressions (JVM-side, whole-stage codegen). This is the analog of
+the reference's per-packet field extraction (flow.py:326, 347, 375, 397) done
+declaratively so Catalyst prunes the parquet scan down to the used columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flow_feature_spark.schema import FWD_ROLE, TOOL_FLAG_BITS
+
+
+def ts_seconds(ts: Column) -> Column:
+    """timestamp -> epoch seconds as double, exact at microsecond precision.
+
+    ``unix_micros`` keeps integer micros; the single /1e6 division is the one
+    float op, identical across engines (used verbatim in the DuckDB oracles as
+    ``epoch_us(ts)/1e6``). Parquet TIMESTAMP_NTZ is cast to TIMESTAMP first —
+    the session timezone is pinned to UTC, so the cast is a pure reinterpret
+    that agrees with DuckDB's naive-UTC timestamps.
+    """
+    return F.unix_micros(ts.cast("timestamp")) / F.lit(1e6)
+
+
+def tool_flags(tool: Column) -> Column:
+    """tool name -> 8-bit bitmask (the TCP-flags analog, flow.py:375-378)."""
+    expr = F.lit(0)
+    for name, bit in TOOL_FLAG_BITS.items():
+        expr = F.when(tool == name, F.lit(1 << bit)).otherwise(expr)
+    return expr.cast("int")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the tcp.window analog for transcripts)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def normalize_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    fwd_role: str = FWD_ROLE,
+) -> DataFrame:
+    """Project a transcript-shaped table onto the kernel input columns.
+
+    Output: conv_id, turn_idx, ts (kept), ts_sec, is_fwd, plen, win, flags, ihl
+    plus the original text (for per-turn invariant checks downstream).
+    """
+    return df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+        F.col(ts_col).alias("ts"),
+        ts_seconds(F.col(ts_col)).alias("ts_sec"),
+        (F.col(role_col) == fwd_role).alias("is_fwd"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("plen"),
+        token_count(F.col(text_col)).alias("win"),
+        tool_flags(F.col(tool_col)).alias("flags"),
+        F.length(F.coalesce(F.col(role_col), F.lit(""))).cast("long").alias("ihl"),
+    )

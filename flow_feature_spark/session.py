@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+local-mode defaults match the sandbox (single JVM, N threads); on a real
+cluster the same settings apply per-executor and the engine relies on AQE to
+re-plan shuffles at runtime (skew splits, partition coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flow_feature_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # local[N] -> N cores; scale shuffle partitions with parallelism, not the
+    # 200 default (wrong at both ends; AQE coalesces the excess anyway).
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local["):-1]
+            cores = os.cpu_count() or 8 if inner == "*" else int(inner)
+        else:
+            cores = 32
+        shuffle_partitions = max(8, cores)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

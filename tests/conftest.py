@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from flow_feature_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="flow_feature_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s
+    s.stop()
