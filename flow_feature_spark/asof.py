@@ -1,0 +1,139 @@
+"""Point-in-time (as-of) join: attach the latest non-leaking feature vector to
+every entity x timestamp probe (SURVEY.md §2.3 J1 — north-rule mandate; the
+reference performs no joins).
+
+Two independent strategies, cross-checked in tests:
+
+* ``asof_join_union_window`` — pure Spark SQL: tag both sides, union, one
+  window pass per entity ordered by (ts, side), ``last(payload,
+  ignorenulls=True)``, keep probe rows. Strictness (`<` vs `<=`) is encoded in
+  the tie order of the ``side`` column at equal timestamps. This is the
+  SQL-expressible form used as the DuckDB oracle.
+* ``asof_join_merge`` — the sort-merge fast path: cogroup both sides on the
+  entity key (one hash co-partitioning shuffle each), then
+  ``pd.merge_asof(..., allow_exact_matches=not strict)`` per group inside an
+  Arrow-batched cogrouped pandas UDF. At scale this is a single co-shuffle +
+  per-bucket linear merge — the distributed analog of a sort-merge as-of join.
+
+Zero-leakage contract (strict=True): a probe at ts T sees only features with
+feature_ts strictly < T. Probes before any feature, and entities with no
+feature rows at all, yield null feature columns (left semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _feature_value_cols(features: DataFrame, entity_col: str, ts_col: str) -> list[str]:
+    return [c for c in features.columns if c not in (entity_col, ts_col)]
+
+
+def asof_join_union_window(
+    features: DataFrame,
+    probes: DataFrame,
+    feature_entity: str = "conv_id",
+    feature_ts: str = "feature_ts",
+    probe_entity: str = "entity_id",
+    probe_ts: str = "probe_ts",
+    strict: bool = True,
+) -> DataFrame:
+    """Union-and-window as-of join. Returns probe rows + feature columns."""
+    vals = _feature_value_cols(features, feature_entity, feature_ts)
+
+    # side tie-break at equal ts: strict -> probe sorts BEFORE the feature row
+    # (cannot see it); inclusive -> after.
+    probe_side, feat_side = (0, 1) if strict else (1, 0)
+
+    f = features.select(
+        F.col(feature_entity).alias("__ent"),
+        F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(feat_side).alias("__side"),
+        F.struct(*[F.col(c) for c in vals]).alias("__payload"),
+        F.lit(None).cast("timestamp").alias(probe_ts),
+    )
+    p = probes.select(
+        F.col(probe_entity).alias("__ent"),
+        F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(probe_side).alias("__side"),
+        F.lit(None).cast(f.schema["__payload"].dataType).alias("__payload"),
+        F.col(probe_ts),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__ent")
+        .orderBy("__t_us", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        f.unionByName(p)
+        .withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == probe_side)
+    )
+    return joined.select(
+        F.col("__ent").alias(probe_entity),
+        F.col(probe_ts),
+        *[F.col("__last").getField(c).alias(c) for c in vals],
+    )
+
+
+def asof_join_merge(
+    features: DataFrame,
+    probes: DataFrame,
+    feature_entity: str = "conv_id",
+    feature_ts: str = "feature_ts",
+    probe_entity: str = "entity_id",
+    probe_ts: str = "probe_ts",
+    strict: bool = True,
+) -> DataFrame:
+    """Cogrouped sort-merge as-of join via ``pd.merge_asof`` (the fast path)."""
+    vals = _feature_value_cols(features, feature_entity, feature_ts)
+
+    out_fields = [
+        T.StructField(probe_entity, T.StringType(), False),
+        T.StructField(probe_ts, T.TimestampType(), False),
+    ] + [
+        T.StructField(c, features.schema[c].dataType, True) for c in vals
+    ]
+    out_schema = T.StructType(out_fields)
+
+    # micros domain for exact tie semantics (timestamp columns arrive in
+    # pandas as datetime64[ns]/[us]; int64 micros avoids unit drift).
+    f = features.select(
+        F.col(feature_entity).alias("__ent"),
+        F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
+        *vals,
+    )
+    p = probes.select(
+        F.col(probe_entity).alias("__ent"),
+        F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
+    )
+    allow_exact = not strict
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = probes of one entity bucket, right = features
+        if left.empty:
+            return pd.DataFrame(columns=[fld.name for fld in out_fields])
+        left = left.sort_values("__t_us", kind="mergesort")
+        right = right.sort_values("__t_us", kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right.drop(columns=["__ent"]),
+            on="__t_us",
+            allow_exact_matches=allow_exact,
+            direction="backward",
+        )
+        merged[probe_entity] = merged["__ent"]
+        merged[probe_ts] = pd.to_datetime(merged["__t_us"], unit="us")
+        return merged[[probe_entity, probe_ts] + vals]
+
+    return (
+        p.groupBy("__ent")
+        .cogroup(f.groupBy("__ent"))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,0 +1,92 @@
+"""Windowed lag/lead/backfill and point-in-time cumulative features
+(SURVEY.md §2.5 W2/W3/W6 — north-rule additions over the reference).
+
+All of these are single-window, single-shuffle expressions over the same
+(conv_id) hash partitioning the sessionizer uses, so Catalyst chains them
+into one exchange + one sort.
+
+The cumulative (point-in-time) per-turn feature vector is what the as-of join
+attaches to probes at turn granularity: every turn row carries the statistics
+of its session *up to and including that turn* — the running analog of the
+reference's flow-final vector. Running std uses moment algebra
+sqrt(E[x^2] - E[x]^2) over the cumulative frame (guarded at >= 0), verified
+against pandas ``expanding()`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _key_window(conv_col: str = "conv_id") -> WindowSpec:
+    return Window.partitionBy(conv_col).orderBy("ts_sec", "turn_idx")
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: list[str],
+    offsets: tuple[int, ...] = (1,),
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """lag/lead of each column at each offset over the per-conv ordering."""
+    w = _key_window(conv_col)
+    for c in cols:
+        for k in offsets:
+            df = df.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            df = df.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return df
+
+
+def forward_fill(df: DataFrame, cols: list[str], conv_col: str = "conv_id") -> DataFrame:
+    """Last non-null value at or before the current turn."""
+    w = _key_window(conv_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in cols:
+        df = df.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def backward_fill(df: DataFrame, cols: list[str], conv_col: str = "conv_id") -> DataFrame:
+    """First non-null value at or after the current turn."""
+    w = _key_window(conv_col).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    for c in cols:
+        df = df.withColumn(f"{c}_bfill", F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def _running_std_pop(x: Column, cum: WindowSpec) -> Column:
+    mean_sq = F.avg(x * x).over(cum)
+    sq_mean = F.avg(x).over(cum) * F.avg(x).over(cum)
+    return F.sqrt(F.greatest(mean_sq - sq_mean, F.lit(0.0)))
+
+
+def cumulative_turn_features(
+    df: DataFrame,
+    value_cols: tuple[str, ...] = ("plen", "win"),
+    keys: tuple[str, str] = ("conv_id", "session_id"),
+) -> DataFrame:
+    """Per-turn running statistics within the session, point-in-time safe.
+
+    Adds, for each value column: running count/sum/mean/min/max/std_pop over
+    rows <= current turn, plus the running turn count, elapsed seconds and
+    inter-turn gap. No value from any later turn leaks into a row.
+    """
+    order = [F.col("ts_sec").asc(), F.col("turn_idx").asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    out = (
+        df.withColumn("run_n_turns", F.count(F.lit(1)).over(cum))
+        .withColumn("run_elapsed_s", F.col("ts_sec") - F.first("ts_sec").over(cum))
+        .withColumn("gap_s", F.col("ts_sec") - F.lag("ts_sec").over(w))
+    )
+    for c in value_cols:
+        x = F.col(c)
+        out = (
+            out.withColumn(f"run_{c}_sum", F.sum(x).over(cum))
+            .withColumn(f"run_{c}_mean", F.avg(x).over(cum))
+            .withColumn(f"run_{c}_min", F.min(x).over(cum))
+            .withColumn(f"run_{c}_max", F.max(x).over(cum))
+            .withColumn(f"run_{c}_std", _running_std_pop(x.cast("double"), cum))
+        )
+    return out
