@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (transcript feature vectors via the
+Arrow-batched kernel) on sf0.001. ``queries()`` / ``oracle_sql()`` pair every
+implemented operator from SURVEY.md §2 with a DuckDB oracle; SQL-templated
+pairs share text via flow_feature_spark.oracle_queries (exact integer/decimal
+accumulation → bit-identical cross-engine results), engine-API entries run the
+real DataFrame modules against the same oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +13,168 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
+from flow_feature_spark import oracle_queries as OQ
+from flow_feature_spark.asof import asof_join_merge, asof_join_union_window
+from flow_feature_spark.kernel import extract_session_features
+from flow_feature_spark.schema import FEATURE_NAMES
+from flow_feature_spark.sessionize import assign_sessions
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(builder) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(builder("spark"))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Engine-API queries (DataFrame modules under test, SQL only as oracle).
+# ---------------------------------------------------------------------------
+
+def _events_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> kernel input columns (FIXTURES.md §4 mapping), exact µs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("event_type") == "purchase").alias("is_fwd"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("plen"),
+        F.floor("value").cast("long").alias("win"),
+        (F.floor("value").cast("long") % 256).cast("int").alias("flags"),
+        F.length("event_type").cast("long").alias("ihl"),
+        F.col("ts"),
+    )
+
+
+def q_feature_vector_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship grouped pandas kernel (U1), r6 rounding to match the SQL
+    oracle bit-for-bit (reference-parity half_even mode is pinned in pytest)."""
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    feats = extract_session_features(sess, rounding="r6")
+    return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
+
+
+def _session_feature_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact per-session payload with feature availability ts (µs-exact)."""
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    g = (
+        sess.groupBy("conv_id", "session_id")
+        .agg(
+            F.max("ts_us").alias("feat_us"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts_us").alias("min_us"),
+            F.sum("plen").alias("dpl_total_i"),
+        )
+        .filter(F.col("n_turns") >= 2)
+    )
+    return g.select(
+        "conv_id",
+        "session_id",
+        F.timestamp_micros(F.col("feat_us")).alias("feature_ts"),
+        "n_turns",
+        r6((F.col("feat_us") - F.col("min_us")) / F.lit(1e6) + F.lit(0.0001)).alias("duration"),
+        "dpl_total_i",
+    )
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 7 == 1)
+        .select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            F.col("ts").alias("probe_ts"),
+        )
+    )
+
+
+def q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fast path: cogrouped pd.merge_asof engine vs DuckDB native ASOF."""
+    feats = _session_feature_payload(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    out = asof_join_merge(feats, probes, strict=True)
+    return out.select(
+        "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
+    )
+
+
+def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 SQL-strategy build through the engine API (same oracle)."""
+    feats = _session_feature_payload(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    out = asof_join_union_window(feats, probes, strict=True)
+    return out.select(
+        "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: sessionized 72-feature vectors (kernel)."""
+    return q_feature_vector_kernel(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # transcript feature engine (SQL-templated pairs)
+        "sessionize_counts": _sql(OQ.sessionize_counts_sql),
+        "session_features_sql": _sql(OQ.feature_vector_sql),
+        "lag_lead_backfill": _sql(OQ.lag_lead_backfill_sql),
+        "cumulative_running": _sql(OQ.cumulative_sql),
+        "asof_union_window_sql": _sql(OQ.asof_sql),
+        # engine-API implementations against independent oracles
+        "session_features_kernel": q_feature_vector_kernel,
+        "asof_merge": q_asof_merge,
+        "asof_union_window_api": q_asof_union_window_api,
+        # relational operator coverage
+        "tpch_q1": _sql(OQ.tpch_q1_sql),
+        "broadcast_join": _sql(OQ.broadcast_join_sql),
+        "semi_anti_join": _sql(OQ.semi_anti_sql),
+        "distinct_count": _sql(OQ.distinct_count_sql),
+        "topk_per_group": _sql(OQ.topk_per_group_sql),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = "duckdb"
+    return {
+        "sessionize_counts": OQ.sessionize_counts_sql(d),
+        "session_features_sql": OQ.feature_vector_sql(d),
+        "lag_lead_backfill": OQ.lag_lead_backfill_sql(d),
+        "cumulative_running": OQ.cumulative_sql(d),
+        "asof_union_window_sql": OQ.asof_sql(d),
+        "session_features_kernel": OQ.feature_vector_sql(d),
+        "asof_merge": OQ.asof_sql(d),
+        "asof_union_window_api": OQ.asof_sql(d),
+        "tpch_q1": OQ.tpch_q1_sql(d),
+        "broadcast_join": OQ.broadcast_join_sql(d),
+        "semi_anti_join": OQ.semi_anti_sql(d),
+        "distinct_count": OQ.distinct_count_sql(d),
+        "topk_per_group": OQ.topk_per_group_sql(d),
+    }

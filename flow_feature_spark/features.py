@@ -56,12 +56,13 @@ def session_features_expr(
     Output schema matches kernel.extract_session_features exactly.
     """
     k0, k1 = keys
-    w_all = Window.partitionBy(k0, k1).orderBy("ts_sec", "turn_idx")
-    w_dir = Window.partitionBy(k0, k1, "is_fwd").orderBy("ts_sec", "turn_idx")
+    w_all = Window.partitionBy(k0, k1).orderBy("ts_us", "turn_idx")
+    w_dir = Window.partitionBy(k0, k1, "is_fwd").orderBy("ts_us", "turn_idx")
 
+    # gaps differenced in exact integer micros, then scaled to seconds
     t = (
-        df.withColumn("gap_all", F.col("ts_sec") - F.lag("ts_sec").over(w_all))
-        .withColumn("gap_dir", F.col("ts_sec") - F.lag("ts_sec").over(w_dir))
+        df.withColumn("gap_all", (F.col("ts_us") - F.lag("ts_us").over(w_all)) / F.lit(1e6))
+        .withColumn("gap_dir", (F.col("ts_us") - F.lag("ts_us").over(w_dir)) / F.lit(1e6))
     )
 
     fwd = F.col("is_fwd")
@@ -70,7 +71,12 @@ def session_features_expr(
     hdr = F.lit(14) + 4 * F.col("ihl") + F.lit(20)
 
     aggs: list[Column] = []
-    aggs += [F.min("ts_sec").alias("session_start_ts"), F.max("ts_sec").alias("session_end_ts")]
+    aggs += [
+        (F.min("ts_us") / F.lit(1e6)).alias("session_start_ts"),
+        (F.max("ts_us") / F.lit(1e6)).alias("session_end_ts"),
+        (F.min("ts_us")).alias("min_us"),
+        (F.max("ts_us")).alias("max_us"),
+    ]
     aggs += [F.count(F.lit(1)).alias("n_turns")]
     aggs += _stats("fiat", f(F.col("gap_dir")))
     aggs += _stats("biat", b(F.col("gap_dir")))
@@ -101,7 +107,7 @@ def session_features_expr(
 
     g = t.groupBy(k0, k1).agg(*aggs).filter(F.col("n_turns") >= 2)
 
-    dur = _b6(F.col("session_end_ts") - F.col("session_start_ts") + F.lit(DURATION_EPSILON))
+    dur = _b6((F.col("max_us") - F.col("min_us")) / F.lit(1e6) + F.lit(DURATION_EPSILON))
     g = g.withColumn("duration", dur)
 
     fp, bp = F.col("fpnum_l"), F.col("bpnum_l")

@@ -66,15 +66,54 @@ def calculation(values: Iterable[float], round6=None) -> list[float]:
     return [r(mean), r(float(a.min())), r(float(a.max())), r(std)]
 
 
-def _iat_stats(ts: np.ndarray, r) -> list[float]:
-    """IAT stats of a (sorted) timestamp array; <2 elements -> zeros.
+def _exact_stats4(
+    vals: np.ndarray, r, scale: float = 1.0, centered: bool = False
+) -> list[float]:
+    """[mean, min, max, std_pop] from EXACT integer accumulation.
+
+    Sums are accumulated as exact Python ints (no float summation order
+    effects, no int64 overflow), then converted to double with the same
+    operation sequence the SQL oracle uses, so results are bit-identical
+    across engines.
+
+    centered=False (small-magnitude values, e.g. text lengths):
+        var = double(sumsq)/n - (double(sum)/n)^2, clamped at 0.
+    centered=True (microsecond gaps — sumsq exceeds 2^53, the one-pass
+    formula also cancels catastrophically):
+        S = sum((x*n - sum)^2) exactly, std = sqrt(double(S)/n/n/n)/scale.
+    """
+    n = int(vals.size)
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    ivals = vals.tolist()  # exact Python ints
+    s = sum(ivals)
+    mean_raw = float(s) / n
+    if centered:
+        S = sum((x * n - s) ** 2 for x in ivals)
+        std = math.sqrt(float(S) / n / n / n) / scale
+    else:
+        sq = sum(x * x for x in ivals)
+        var = max(float(sq) / n - mean_raw * mean_raw, 0.0)
+        std = math.sqrt(var) / scale
+    return [
+        r(mean_raw / scale),
+        r(float(min(ivals)) / scale),
+        r(float(max(ivals)) / scale),
+        r(std),
+    ]
+
+
+def _iat_stats(ts_us: np.ndarray, r) -> list[float]:
+    """IAT stats of a (sorted) int64-microsecond array; <2 elements -> zeros.
 
     Reference: packet_iat, flow.py:293-312 (a 1-element flow yields an empty
     diff list, which calculation maps to zeros — same result as empty).
+    Gaps are differenced exactly in integer micros, then divided by 1e6 —
+    matching the reference's exact-decimal ``pkt.time`` subtraction.
     """
-    if ts.size < 2:
+    if ts_us.size < 2:
         return [0.0, 0.0, 0.0, 0.0]
-    return calculation(np.diff(ts), round6=r)
+    return _exact_stats4(np.diff(ts_us), r, scale=1e6, centered=True)
 
 
 def _sum_stats(vals: np.ndarray, r, is_tcp: bool = True) -> list[float]:
@@ -87,8 +126,8 @@ def _sum_stats(vals: np.ndarray, r, is_tcp: bool = True) -> list[float]:
     """
     if vals.size == 0 or not is_tcp:
         return [0.0, 0.0, 0.0, 0.0, 0.0]
-    total = r(float(vals.sum()))
-    return [total] + calculation(vals, round6=r)
+    total = r(float(int(vals.sum())))
+    return [total] + _exact_stats4(vals, r)
 
 
 def _flag_counts(flags: np.ndarray, is_tcp: bool = True) -> list[float]:
@@ -109,7 +148,7 @@ def _hdr_len(ihl: np.ndarray) -> float:
 
 
 def feature_vector(
-    ts_sec: np.ndarray,
+    ts_us: np.ndarray,
     is_fwd: np.ndarray,
     plen: np.ndarray,
     win: np.ndarray,
@@ -120,23 +159,24 @@ def feature_vector(
 ) -> list[float] | None:
     """Compute the 72-vector for ONE already-sorted group; None if <2 turns.
 
-    Mirrors Flow.get_flow_feature (flow.py:129-203) line by line. Inputs must
-    be sorted by (ts, turn_idx) — the caller owns ordering so per-direction
-    IATs are gaps between consecutive same-direction turns of the time-sorted
-    session (flow.py:139-140 sort-then-divide).
+    Mirrors Flow.get_flow_feature (flow.py:129-203) line by line. ``ts_us``
+    is int64 epoch-microseconds (exact gap arithmetic). Inputs must be sorted
+    by (ts, turn_idx) — the caller owns ordering so per-direction IATs are
+    gaps between consecutive same-direction turns of the time-sorted session
+    (flow.py:139-140 sort-then-divide).
     """
-    n = ts_sec.size
+    n = ts_us.size
     if n <= 1:
         return None
     r = _rounder(rounding)
     fwd = is_fwd.astype(bool)
     bwd = ~fwd
 
-    fiat = _iat_stats(ts_sec[fwd], r)
-    biat = _iat_stats(ts_sec[bwd], r)
-    diat = _iat_stats(ts_sec, r)
+    fiat = _iat_stats(ts_us[fwd], r)
+    biat = _iat_stats(ts_us[bwd], r)
+    diat = _iat_stats(ts_us, r)
 
-    duration = r(float(ts_sec[-1] - ts_sec[0]) + DURATION_EPSILON)
+    duration = r(float(int(ts_us[-1]) - int(ts_us[0])) / 1e6 + DURATION_EPSILON)
 
     fwin = _sum_stats(win[fwd], r, is_tcp)
     bwin = _sum_stats(win[bwd], r, is_tcp)
@@ -182,8 +222,8 @@ def feature_vector(
 
 
 def _group_kernel(keys: tuple, pdf: pd.DataFrame, rounding: str) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts_sec", "turn_idx"], kind="mergesort")
-    ts = pdf["ts_sec"].to_numpy(np.float64)
+    pdf = pdf.sort_values(["ts_us", "turn_idx"], kind="mergesort")
+    ts = pdf["ts_us"].to_numpy(np.int64)
     vec = feature_vector(
         ts,
         pdf["is_fwd"].to_numpy(),
@@ -198,8 +238,8 @@ def _group_kernel(keys: tuple, pdf: pd.DataFrame, rounding: str) -> pd.DataFrame
     row = {
         "conv_id": keys[0],
         "session_id": int(keys[1]),
-        "session_start_ts": float(ts[0]),
-        "session_end_ts": float(ts[-1]),
+        "session_start_ts": float(int(ts[0]) / 1e6),
+        "session_end_ts": float(int(ts[-1]) / 1e6),
         "n_turns": int(ts.size),
     }
     row.update(dict(zip(FEATURE_NAMES, vec)))
@@ -218,7 +258,7 @@ def extract_session_features(
     multiprocessing Pool boundary, SURVEY.md §3.1).
     """
     proj = df.select(
-        keys[0], keys[1], "turn_idx", "ts_sec", "is_fwd", "plen", "win", "flags", "ihl"
+        keys[0], keys[1], "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
     )
     return proj.groupBy(*keys).applyInPandas(
         lambda k, pdf: _group_kernel(k, pdf, rounding), schema=FEATURE_SCHEMA
@@ -230,7 +270,9 @@ def attach_feature_ts(features: DataFrame) -> DataFrame:
 
     A session's final vector becomes knowable at its last turn, so
     ``feature_ts = session_end_ts`` — using anything earlier would leak.
+    (round() recovers the exact integer micros from the double seconds.)
     """
     return features.withColumn(
-        "feature_ts", F.timestamp_micros((F.col("session_end_ts") * 1e6).cast("long"))
+        "feature_ts",
+        F.timestamp_micros(F.round(F.col("session_end_ts") * 1e6, 0).cast("long")),
     )

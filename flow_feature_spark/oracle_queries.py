@@ -1,0 +1,470 @@
+"""Dialect-parametrized SQL for the driver correctness gate.
+
+Every query here is emitted in two dialects — ``spark`` and ``duckdb`` — from
+the SAME template, differing only in micro-dialect tokens (epoch extraction,
+bit shifts, IGNORE NULLS placement). The Spark side runs via ``spark.sql``
+over temp views of the sf-dir parquet files; the DuckDB side is the driver's
+oracle.
+
+Cross-engine float discipline (the whole point of this module's structure):
+floating-point SUMS are order-dependent, and the two engines aggregate in
+different orders — so every aggregate accumulates in an EXACT domain first
+(bigint microseconds for time, bigint for lengths/counts, DECIMAL(38,0) for
+sums of squared microsecond gaps, DECIMAL(18,2) for money) and converts to
+double exactly once, after aggregation. Deterministic double ops on identical
+inputs give bit-identical results in both engines, so the driver's
+order-insensitive value hash matches exactly — no tolerance needed.
+
+Rounding = ``r6(x) = floor(x*1e6 + 0.5)/1e6`` written out in both dialects
+(avoids Spark HALF_UP vs DuckDB vs Python HALF_EVEN library drift).
+
+The events table stands in for the transcript shape (FIXTURES.md §4):
+user_id→conv_id, ts→ts, event_type→role ('purchase' = forward), props→text,
+floor(value)→win (per-turn budget), floor(value)%256→flags bitmask,
+length(role)→ihl, row_number within user→turn_idx. Feature semantics mirror
+the reference kernel (flow.py:129-203) exactly: population std, round-6,
+duration epsilon, max(x,1) guards, rounded-sum rates, -1 flag sentinels,
+HAVING count(*) >= 2.
+"""
+
+from __future__ import annotations
+
+SESSION_GAP_S = 43200.0  # 12 h — sized to the events table's gap distribution
+GAP_US = int(SESSION_GAP_S * 1_000_000)
+
+
+def _epoch_us(dialect: str, col: str = "ts") -> str:
+    if dialect == "spark":
+        return f"unix_micros(cast({col} as timestamp))"
+    return f"epoch_us({col})"
+
+
+def _shr(dialect: str, x: str, i: int) -> str:
+    """(x >> i) & 1 — bit extraction, dialect-safe."""
+    if dialect == "spark":
+        return f"(shiftright({x}, {i}) & 1)"
+    return f"(({x} >> {i}) & 1)"
+
+
+def _ffill(dialect: str, x: str, part: str, order: str = "ts_us, turn_idx") -> str:
+    frame = (f"OVER (PARTITION BY {part} ORDER BY {order} "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    if dialect == "spark":
+        return f"last_value({x}) IGNORE NULLS {frame}"
+    return f"last_value({x} IGNORE NULLS) {frame}"
+
+
+def _bfill(dialect: str, x: str, part: str, order: str = "ts_us, turn_idx") -> str:
+    frame = (f"OVER (PARTITION BY {part} ORDER BY {order} "
+             "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+    if dialect == "spark":
+        return f"first_value({x}) IGNORE NULLS {frame}"
+    return f"first_value({x} IGNORE NULLS) {frame}"
+
+
+def r6(x: str) -> str:
+    return f"(floor(({x})*1e6 + 0.5)/1e6)"
+
+
+def turns_cte(dialect: str) -> str:
+    """events -> transcript-shaped turns (the shared base CTE); time in µs."""
+    return f"""
+turns AS (
+  SELECT cast(user_id AS string)                                   AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS int)    AS turn_idx,
+         event_type                                                AS role,
+         props                                                     AS text,
+         ts,
+         {_epoch_us(dialect)}                                      AS ts_us,
+         (event_type = 'purchase')                                 AS is_fwd,
+         cast(length(coalesce(props, '')) AS bigint)               AS plen,
+         cast(floor(value) AS bigint)                              AS win,
+         cast(cast(floor(value) AS bigint) % 256 AS int)           AS flags,
+         cast(length(event_type) AS bigint)                        AS ihl
+  FROM events
+)"""
+
+
+def sess_cte(gap_us: int = GAP_US) -> str:
+    return f"""
+gapped AS (
+  SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY conv_id
+                                     ORDER BY ts_us, turn_idx) AS prev_gap_us
+  FROM turns
+),
+sess AS (
+  SELECT *, cast(sum(CASE WHEN prev_gap_us IS NULL OR prev_gap_us > {gap_us}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+            AS session_id
+  FROM gapped
+)"""
+
+
+# ---------------------------------------------------------------------------
+# The 72-feature vector as layered SQL (generated, not hand-copied 72 times).
+# ---------------------------------------------------------------------------
+
+def _std_from_exact(sum_d: str, sumsq_d: str, n: str, scale: str = "1.0") -> str:
+    """std_pop from exact integer/decimal sums, converted to double once.
+
+    var = (sumsq - sum^2/n)/n in double over exact inputs; /scale converts the
+    unit (1e6 for µs->s). greatest(...,0) guards tiny negative residue.
+    """
+    mean = f"(cast({sum_d} AS double)/{n})"
+    var = f"greatest(cast({sumsq_d} AS double)/{n} - {mean}*{mean}, 0.0)"
+    return f"(sqrt({var})/{scale})"
+
+
+def _agg_block(dialect: str) -> tuple[str, str]:
+    """(raw exact-domain agg list, final rounded-stat list) for 72 features."""
+    raw: list[str] = [
+        "count(*) AS n",
+        "min(ts_us) AS min_us",
+        "max(ts_us) AS max_us",
+        "count(*) FILTER (WHERE is_fwd) AS fpnum",
+        "count(*) FILTER (WHERE NOT is_fwd) AS bpnum",
+    ]
+    # gap (µs, exact centered devsq — see `centered` CTE) and win/plen
+    # (bigint one-pass sumsq, exact below 2^53) stat families x directions
+    fam = {
+        "iat": ("gap_dir_us", True),
+        "win": ("win", False),
+        "pl": ("plen", False),
+    }
+    for family, (x, is_us) in fam.items():
+        for dirn, filt in (
+            ("f", "FILTER (WHERE is_fwd)"),
+            ("b", "FILTER (WHERE NOT is_fwd)"),
+            ("d", ""),
+        ):
+            col = "gap_all_us" if (family == "iat" and dirn == "d") else x
+            p = f"{dirn}{family}"
+            if is_us:
+                dev = "dev_all" if dirn == "d" else "dev_dir"
+                sq_term = (
+                    f"sum(cast({dev} AS decimal(19,0)) * cast({dev} AS decimal(19,0)))"
+                    f" {filt} AS {p}_devsq"
+                )
+            else:
+                sq_term = f"sum({col}*{col}) {filt} AS {p}_sumsq"
+            raw += [
+                f"sum({col}) {filt} AS {p}_sum",
+                sq_term,
+                f"min({col}) {filt} AS {p}_rmin",
+                f"max({col}) {filt} AS {p}_rmax",
+                f"count({col}) {filt} AS {p}_cnt",
+            ]
+    flag_names = ["fin_cnt", "syn_cnt", "rst_cnt", "pst_cnt",
+                  "ack_cnt", "urg_cnt", "cwe_cnt", "ece_cnt"]
+    for i, name in enumerate(flag_names):
+        raw.append(f"sum({_shr(dialect, 'flags', i)}) AS raw_{name}")
+    for name, bit, filt in (
+        ("fwd_pst", 3, "FILTER (WHERE is_fwd)"),
+        ("fwd_urg", 5, "FILTER (WHERE is_fwd)"),
+        ("bwd_pst", 3, "FILTER (WHERE NOT is_fwd)"),
+        ("bwd_urg", 5, "FILTER (WHERE NOT is_fwd)"),
+    ):
+        raw.append(f"sum({_shr(dialect, 'flags', bit)}) {filt} AS raw_{name}_cnt")
+    raw += [
+        "sum(14 + 4*ihl + 20) FILTER (WHERE is_fwd) AS raw_fhdr",
+        "sum(14 + 4*ihl + 20) FILTER (WHERE NOT is_fwd) AS raw_bhdr",
+    ]
+
+    # final layer: rounded statistics with the reference's guard rules
+    fin: list[str] = []
+
+    def stats4(p: str, scale: str, centered: bool) -> list[str]:
+        mean = r6(f"cast({p}_sum AS double)/{p}_cnt/{scale}")
+        if centered:
+            # exact centered sum of squares: S = sum((x*n - sum)^2),
+            # std = sqrt(double(S)/n^3)/scale — matches kernel._exact_stats4
+            n = f"{p}_cnt"
+            std = r6(f"(sqrt(cast({p}_devsq AS double)/{n}/{n}/{n})/{scale})")
+        else:
+            std = r6(_std_from_exact(f"{p}_sum", f"{p}_sumsq", f"{p}_cnt", scale))
+        return [
+            f"coalesce({mean}, 0.0) AS {p}_mean",
+            f"coalesce({r6(f'cast({p}_rmin AS double)/{scale}')}, 0.0) AS {p}_min",
+            f"coalesce({r6(f'cast({p}_rmax AS double)/{scale}')}, 0.0) AS {p}_max",
+            f"CASE WHEN {p}_cnt = 0 THEN 0.0 ELSE {std} END AS {p}_std",
+        ]
+
+    for d in "fbd":
+        fin += stats4(f"{d}iat", "1e6", centered=True)
+    fin.append(f"{r6('(max_us - min_us)/1e6 + 0.0001')} AS duration")
+    for family in ("win", "pl"):
+        for d in "fbd":
+            p = f"{d}{family}"
+            fin.append(f"coalesce({r6(f'cast({p}_sum AS double)')}, 0.0) AS {p}_total")
+            fin += stats4(p, "1.0", centered=False)
+    fin += [
+        "cast(fpnum AS double) AS fpnum",
+        "cast(bpnum AS double) AS bpnum",
+        "cast(n AS double) AS dpnum",
+        f"{r6('cast(bpnum AS double)/greatest(fpnum, 1)')} AS bfpnum_rate",
+    ]
+    for name in flag_names:
+        fin.append(f"cast(raw_{name} AS double) AS {name}")
+    for name, guard in (
+        ("fwd_pst_cnt", "fpnum"), ("fwd_urg_cnt", "fpnum"),
+        ("bwd_pst_cnt", "bpnum"), ("bwd_urg_cnt", "bpnum"),
+    ):
+        fin.append(
+            f"CASE WHEN {guard} = 0 THEN -1.0 "
+            f"ELSE cast(raw_{name[:7]}_cnt AS double) END AS {name}"
+        )
+    fin += [
+        "coalesce(cast(raw_fhdr AS double), 0.0) AS fp_hdr_len",
+        "coalesce(cast(raw_bhdr AS double), 0.0) AS bp_hdr_len",
+    ]
+    return ",\n    ".join(raw), ",\n    ".join(fin)
+
+
+def feature_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Full 72-feature per-(conv_id, session_id) query (events-backed)."""
+    raw, fin = _agg_block(dialect)
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)},
+gaps AS (
+  SELECT *,
+         ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
+                                  ORDER BY ts_us, turn_idx)           AS gap_all_us,
+         ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id, is_fwd
+                                  ORDER BY ts_us, turn_idx)           AS gap_dir_us
+  FROM sess
+),
+centered AS (
+  SELECT *,
+         gap_dir_us * (count(gap_dir_us) OVER wd) - (sum(gap_dir_us) OVER wd) AS dev_dir,
+         gap_all_us * (count(gap_all_us) OVER wa) - (sum(gap_all_us) OVER wa) AS dev_all
+  FROM gaps
+  WINDOW wd AS (PARTITION BY conv_id, session_id, is_fwd),
+         wa AS (PARTITION BY conv_id, session_id)
+),
+agg AS (
+  SELECT conv_id, session_id,
+    {raw}
+  FROM centered GROUP BY conv_id, session_id HAVING count(*) >= 2
+),
+fin AS (
+  SELECT conv_id, session_id, n,
+    {fin}
+  FROM agg
+)
+SELECT conv_id, session_id, cast(n AS bigint) AS n_turns,
+  fiat_mean, fiat_min, fiat_max, fiat_std,
+  biat_mean, biat_min, biat_max, biat_std,
+  diat_mean, diat_min, diat_max, diat_std,
+  duration,
+  fwin_total, fwin_mean, fwin_min, fwin_max, fwin_std,
+  bwin_total, bwin_mean, bwin_min, bwin_max, bwin_std,
+  dwin_total, dwin_mean, dwin_min, dwin_max, dwin_std,
+  fpnum, bpnum, dpnum, bfpnum_rate,
+  {r6('fpnum/duration')} AS fpnum_s,
+  {r6('bpnum/duration')} AS bpnum_s,
+  {r6('fpnum/duration')} + {r6('bpnum/duration')} AS dpnum_s,
+  fpl_total, fpl_mean, fpl_min, fpl_max, fpl_std,
+  bpl_total, bpl_mean, bpl_min, bpl_max, bpl_std,
+  dpl_total, dpl_mean, dpl_min, dpl_max, dpl_std,
+  {r6('bpl_total/greatest(fpl_total, 1.0)')} AS bfpl_rate,
+  {r6('fpl_total/duration')} AS fpl_s,
+  {r6('bpl_total/duration')} AS bpl_s,
+  {r6('fpl_total/duration')} + {r6('bpl_total/duration')} AS dpl_s,
+  fin_cnt, syn_cnt, rst_cnt, pst_cnt, ack_cnt, urg_cnt, cwe_cnt, ece_cnt,
+  fwd_pst_cnt, fwd_urg_cnt, bwd_pst_cnt, bwd_urg_cnt,
+  fp_hdr_len, bp_hdr_len, fp_hdr_len + bp_hdr_len AS dp_hdr_len,
+  {r6('fp_hdr_len/greatest(fpl_total, 1.0)')} AS f_ht_len,
+  {r6('bp_hdr_len/greatest(bpl_total, 1.0)')} AS b_ht_len,
+  {r6('(fp_hdr_len + bp_hdr_len)/greatest(dpl_total, 1.0)')} AS d_ht_len
+FROM fin
+"""
+
+
+def sessionize_counts_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Slice 0 — basic-edition incremental aggregates per session
+    (reference flow_basic.py:41-76: count/sum/min/max/avg)."""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}
+SELECT conv_id, session_id,
+       cast(count(*) AS bigint)            AS turn_cnt,
+       cast(sum(plen) AS bigint)           AS byte_cnt,
+       {r6('min(ts_us)/1e6')}              AS start_sec,
+       {r6('max(ts_us)/1e6')}              AS end_sec,
+       {r6('(max(ts_us) - min(ts_us))/1e6 + 0.0001')} AS duration,
+       {r6('cast(sum(plen) AS double)/count(*)')}     AS avg_len,
+       cast(count(*) FILTER (WHERE is_fwd) AS bigint) AS fwd_cnt
+FROM sess GROUP BY conv_id, session_id
+"""
+
+
+def lag_lead_backfill_sql(dialect: str) -> str:
+    """W2/W3: per-turn lag/lead/ffill/bfill features over the conv ordering."""
+    return f"""
+WITH {turns_cte(dialect)}
+SELECT conv_id, turn_idx,
+  lag(plen, 1)  OVER w AS plen_lag1,
+  lead(plen, 1) OVER w AS plen_lead1,
+  {r6('(ts_us - (lag(ts_us, 1) OVER w))/1e6')} AS gap_prev,
+  {r6('((lead(ts_us, 1) OVER w) - ts_us)/1e6')} AS gap_next,
+  {_ffill(dialect, 'CASE WHEN flags > 0 THEN flags END', 'conv_id')} AS flags_ffill,
+  {_bfill(dialect, 'CASE WHEN flags > 0 THEN flags END', 'conv_id')} AS flags_bfill
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts_us, turn_idx)
+"""
+
+
+def cumulative_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """W6: point-in-time running stats per turn (cumulative frame)."""
+    cum = ("OVER (PARTITION BY conv_id, session_id ORDER BY ts_us, turn_idx "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    run_std = _std_from_exact(f"sum(plen) {cum}", f"sum(plen*plen) {cum}",
+                              f"count(*) {cum}")
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}
+SELECT conv_id, session_id, turn_idx,
+  cast(count(*) {cum} AS bigint)            AS run_n_turns,
+  cast(sum(plen) {cum} AS bigint)           AS run_plen_sum,
+  {r6(f'cast(sum(plen) {cum} AS double) / count(*) {cum}')} AS run_plen_mean,
+  cast(min(plen) {cum} AS bigint)           AS run_plen_min,
+  cast(max(plen) {cum} AS bigint)           AS run_plen_max,
+  {r6(run_std)}                             AS run_plen_std,
+  {r6(f'(ts_us - first_value(ts_us) {cum})/1e6')} AS run_elapsed_s
+FROM sess
+"""
+
+
+def probes_cte() -> str:
+    """Deterministic probe set derived from events: every 7th event of each
+    user probes at its own ts — exact ties exercise strict-< semantics."""
+    return """
+probes AS (
+  SELECT cast(user_id AS string) AS entity_id, ts AS probe_ts
+  FROM (SELECT user_id, ts, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn FROM events) e
+  WHERE rn % 7 = 1
+)"""
+
+
+def feats_cte() -> str:
+    """Compact per-session payload with availability at session end (µs)."""
+    return f"""
+feats AS (
+  SELECT conv_id, session_id,
+         max(ts_us)                           AS feat_us,
+         cast(count(*) AS bigint)             AS n_turns,
+         {r6('(max(ts_us) - min(ts_us))/1e6 + 0.0001')} AS duration,
+         cast(sum(plen) AS bigint)            AS dpl_total_i
+  FROM sess GROUP BY conv_id, session_id HAVING count(*) >= 2
+)"""
+
+
+def asof_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """J1 oracle: DuckDB native ASOF JOIN (strict >) vs the engine's Spark
+    union-and-window build — two genuinely independent implementations."""
+    if dialect == "duckdb":
+        return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}, {probes_cte()}
+SELECT p.entity_id, p.probe_ts,
+       f.session_id, f.n_turns, f.duration, f.dpl_total_i
+FROM probes p ASOF LEFT JOIN feats f
+  ON p.entity_id = f.conv_id AND {_epoch_us(dialect, 'p.probe_ts')} > f.feat_us
+"""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}, {probes_cte()},
+tagged AS (
+  SELECT conv_id AS entity_id, feat_us AS t_us, 1 AS side,
+         named_struct('session_id', session_id, 'n_turns', n_turns,
+                      'duration', duration, 'dpl_total_i', dpl_total_i) AS payload,
+         cast(NULL AS timestamp_ntz) AS probe_ts
+  FROM feats
+  UNION ALL
+  SELECT entity_id, {_epoch_us(dialect, 'probe_ts')} AS t_us, 0 AS side,
+         NULL AS payload, probe_ts
+  FROM probes
+),
+winp AS (
+  SELECT *, last(payload, true) OVER (PARTITION BY entity_id ORDER BY t_us, side
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attached
+  FROM tagged
+)
+SELECT entity_id, probe_ts,
+       attached.session_id AS session_id, attached.n_turns AS n_turns,
+       attached.duration AS duration, attached.dpl_total_i AS dpl_total_i
+FROM winp WHERE side = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operator coverage (A2/A10/A11, J2/J3, W5).
+# Same text in both dialects; money goes through DECIMAL(18,2) for exactness.
+# ---------------------------------------------------------------------------
+
+def tpch_q1_sql(dialect: str) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2))      AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_base_price,
+       {r6('cast(sum(cast(l_quantity AS decimal(18,2))) AS double)/count(*)')} AS avg_qty,
+       {r6('cast(sum(cast(l_discount AS decimal(18,2))) AS double)/count(*)')} AS avg_disc,
+       cast(count(*) AS bigint) AS count_order
+FROM lineitem
+WHERE cast(l_shipdate AS date) <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def broadcast_join_sql(dialect: str) -> str:
+    """orders x customer x nation: broadcast-dim join + exact money agg."""
+    return f"""
+SELECT n.n_name, c.c_mktsegment,
+       cast(count(*) AS bigint) AS order_cnt,
+       cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+def semi_anti_sql(dialect: str) -> str:
+    """Left-semi + left-anti coverage: customers split by order existence."""
+    return """
+SELECT c_mktsegment,
+       cast(count(*) FILTER (WHERE has_order) AS bigint)     AS with_orders,
+       cast(count(*) FILTER (WHERE NOT has_order) AS bigint) AS without_orders
+FROM (
+  SELECT c.c_mktsegment, (o.o_custkey IS NOT NULL) AS has_order
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON c.c_custkey = o.o_custkey
+) t
+GROUP BY c_mktsegment
+"""
+
+
+def distinct_count_sql(dialect: str) -> str:
+    """A10: exact distinct counts (reference dst_sets, flow.py:508-510)."""
+    return """
+SELECT event_type,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       cast(count(*) AS bigint)                AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def topk_per_group_sql(dialect: str) -> str:
+    """W5: top-3 lineitems per suppkey bucket, deterministic tiebreak."""
+    return """
+SELECT suppgrp, l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_suppkey % 10 AS suppgrp, l_orderkey, l_linenumber, l_extendedprice,
+         cast(row_number() OVER (PARTITION BY l_suppkey % 10
+                            ORDER BY l_extendedprice DESC,
+                                     l_orderkey, l_linenumber) AS int) AS rn
+  FROM lineitem
+) t WHERE rn <= 3
+"""

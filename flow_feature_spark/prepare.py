@@ -53,8 +53,11 @@ def normalize_turns(
 ) -> DataFrame:
     """Project a transcript-shaped table onto the kernel input columns.
 
-    Output: conv_id, turn_idx, ts (kept), ts_sec, is_fwd, plen, win, flags, ihl
-    plus the original text (for per-turn invariant checks downstream).
+    Output: conv_id, turn_idx, ts (kept), ts_us (canonical int64 micros —
+    all gap math happens in this exact domain; double ULP at epoch-seconds
+    scale is ~0.5 µs, so subtracting rounded double seconds would drift),
+    ts_sec (display/compat), is_fwd, plen, win, flags, ihl, plus the original
+    text (for per-turn invariant checks downstream).
     """
     return df.select(
         F.col(conv_col).alias("conv_id"),
@@ -62,6 +65,7 @@ def normalize_turns(
         F.col(role_col).alias("role"),
         F.col(text_col).alias("text"),
         F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         ts_seconds(F.col(ts_col)).alias("ts_sec"),
         (F.col(role_col) == fwd_role).alias("is_fwd"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("plen"),

@@ -95,7 +95,7 @@ PROBE_SCHEMA = T.StructType([
 
 # Kernel input columns (after normalize_turns): the minimal physical projection.
 KERNEL_INPUT_COLS = [
-    "conv_id", "session_id", "turn_idx", "ts_sec",
+    "conv_id", "session_id", "turn_idx", "ts_us",
     "is_fwd", "plen", "win", "flags", "ihl",
 ]
 

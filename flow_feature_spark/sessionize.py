@@ -20,19 +20,22 @@ def assign_sessions(
     df: DataFrame,
     gap_seconds: float = DEFAULT_SESSION_GAP_S,
     conv_col: str = "conv_id",
-    ts_sec_col: str = "ts_sec",
+    ts_us_col: str = "ts_us",
     tiebreak_col: str = "turn_idx",
     out_col: str = "session_id",
 ) -> DataFrame:
     """Add a 1-based ``session_id`` per conv: gap > threshold => new session.
 
-    Ordering is (ts, turn_idx) — the stable secondary sort the reference gets
-    implicitly from Python's stable list sort (flow.py:139).
+    Gap comparison runs in exact integer microseconds (no float drift at the
+    threshold boundary). Ordering is (ts, turn_idx) — the stable secondary
+    sort the reference gets implicitly from Python's stable list sort
+    (flow.py:139).
     """
-    w = Window.partitionBy(conv_col).orderBy(ts_sec_col, tiebreak_col)
-    gap = F.col(ts_sec_col) - F.lag(ts_sec_col, 1).over(w)
-    is_new = F.when(gap.isNull() | (gap > F.lit(gap_seconds)), F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy(conv_col).orderBy(ts_sec_col, tiebreak_col).rowsBetween(
+    gap_us = int(round(gap_seconds * 1_000_000))
+    w = Window.partitionBy(conv_col).orderBy(ts_us_col, tiebreak_col)
+    gap = F.col(ts_us_col) - F.lag(ts_us_col, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > F.lit(gap_us)), F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy(conv_col).orderBy(ts_us_col, tiebreak_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out_col, F.sum(is_new).over(cum).cast("long"))

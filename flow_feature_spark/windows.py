@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 
 def _key_window(conv_col: str = "conv_id") -> WindowSpec:
-    return Window.partitionBy(conv_col).orderBy("ts_sec", "turn_idx")
+    return Window.partitionBy(conv_col).orderBy("ts_us", "turn_idx")
 
 
 def with_lag_lead(
@@ -71,14 +71,17 @@ def cumulative_turn_features(
     rows <= current turn, plus the running turn count, elapsed seconds and
     inter-turn gap. No value from any later turn leaks into a row.
     """
-    order = [F.col("ts_sec").asc(), F.col("turn_idx").asc()]
+    order = [F.col("ts_us").asc(), F.col("turn_idx").asc()]
     w = Window.partitionBy(*keys).orderBy(*order)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     out = (
         df.withColumn("run_n_turns", F.count(F.lit(1)).over(cum))
-        .withColumn("run_elapsed_s", F.col("ts_sec") - F.first("ts_sec").over(cum))
-        .withColumn("gap_s", F.col("ts_sec") - F.lag("ts_sec").over(w))
+        .withColumn(
+            "run_elapsed_s",
+            (F.col("ts_us") - F.first("ts_us").over(cum)) / F.lit(1e6),
+        )
+        .withColumn("gap_s", (F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(1e6))
     )
     for c in value_cols:
         x = F.col(c)

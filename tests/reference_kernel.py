@@ -21,13 +21,13 @@ def ref_calculation(vals):
     return [round(mean, 6), round(min(vals), 6), round(max(vals), 6), round(std, 6)]
 
 
-def ref_iat(ts_list):
-    if len(ts_list) == 0:
+def ref_iat(ts_us_list):
+    if len(ts_us_list) == 0:
         return [0.0, 0.0, 0.0, 0.0]
     gaps = []
-    prev = ts_list[0]
-    for t in ts_list[1:]:
-        gaps.append(t - prev)
+    prev = ts_us_list[0]
+    for t in ts_us_list[1:]:
+        gaps.append((t - prev) / 1e6)  # exact integer-µs diff, like EDecimal
         prev = t
     return ref_calculation(gaps)
 
@@ -55,19 +55,19 @@ def ref_hdr_len(ihls):
 
 
 def ref_feature_vector(turns):
-    """turns: list of dicts (ts_sec, turn_idx, is_fwd, plen, win, flags, ihl),
+    """turns: list of dicts (ts_us, turn_idx, is_fwd, plen, win, flags, ihl),
     any order. Returns 72 floats or None if <2 turns."""
     if len(turns) <= 1:
         return None
-    turns = sorted(turns, key=lambda t: (t["ts_sec"], t["turn_idx"]))
+    turns = sorted(turns, key=lambda t: (t["ts_us"], t["turn_idx"]))
     fwd = [t for t in turns if t["is_fwd"]]
     bwd = [t for t in turns if not t["is_fwd"]]
 
     out = []
-    out += ref_iat([t["ts_sec"] for t in fwd])
-    out += ref_iat([t["ts_sec"] for t in bwd])
-    out += ref_iat([t["ts_sec"] for t in turns])
-    duration = round(turns[-1]["ts_sec"] - turns[0]["ts_sec"] + EPS, 6)
+    out += ref_iat([t["ts_us"] for t in fwd])
+    out += ref_iat([t["ts_us"] for t in bwd])
+    out += ref_iat([t["ts_us"] for t in turns])
+    duration = round((turns[-1]["ts_us"] - turns[0]["ts_us"]) / 1e6 + EPS, 6)
     out.append(duration)
     fwin = ref_sum_stats([t["win"] for t in fwd])
     bwin = ref_sum_stats([t["win"] for t in bwd])
@@ -104,14 +104,15 @@ def ref_feature_vector(turns):
 
 def ref_sessionize(turns, gap_s):
     """Sorted-by-(ts,turn_idx) turns of ONE conv -> list of sessions (lists)."""
-    turns = sorted(turns, key=lambda t: (t["ts_sec"], t["turn_idx"]))
+    turns = sorted(turns, key=lambda t: (t["ts_us"], t["turn_idx"]))
+    gap_us = int(round(gap_s * 1_000_000))
     sessions, cur, prev = [], [], None
     for t in turns:
-        if prev is not None and (t["ts_sec"] - prev) > gap_s:
+        if prev is not None and (t["ts_us"] - prev) > gap_us:
             sessions.append(cur)
             cur = []
         cur.append(t)
-        prev = t["ts_sec"]
+        prev = t["ts_us"]
     if cur:
         sessions.append(cur)
     return sessions

@@ -51,14 +51,14 @@ class TestCalculation:
 class TestIAT:
     # test_flow_feature.py:146-162 — ts [1,2,4] -> gaps [1,2]
     def test_basic(self):
-        mean, mn, mx, std = _iat_stats(np.array([1.0, 2.0, 4.0]), R)
+        mean, mn, mx, std = _iat_stats(np.array([1_000_000, 2_000_000, 4_000_000]), R)
         assert (mean, mn, mx) == (1.5, 1.0, 2.0)
         assert std == 0.5
 
     # test_flow_feature.py:164-182
     def test_single_and_empty(self):
-        assert _iat_stats(np.array([1.0]), R) == [0.0, 0.0, 0.0, 0.0]
-        assert _iat_stats(np.array([]), R) == [0.0, 0.0, 0.0, 0.0]
+        assert _iat_stats(np.array([1_000_000]), R) == [0.0, 0.0, 0.0, 0.0]
+        assert _iat_stats(np.array([], dtype=np.int64), R) == [0.0, 0.0, 0.0, 0.0]
 
 
 class TestSumStats:
@@ -99,12 +99,12 @@ class TestHdrLen:
 
 class TestFeatureVector:
     def _mk(self, n, fwd_pattern=None):
-        ts = np.arange(n, dtype=np.float64)
+        ts = np.arange(n, dtype=np.int64) * 1_000_000
         is_fwd = np.array(
             fwd_pattern if fwd_pattern is not None else [i % 2 == 0 for i in range(n)]
         )
         return dict(
-            ts_sec=ts,
+            ts_us=ts,
             is_fwd=is_fwd,
             plen=np.arange(100, 100 + n),
             win=np.arange(10, 10 + n),
@@ -127,7 +127,7 @@ class TestFeatureVector:
 
     def test_zero_duration_epsilon(self):
         m = self._mk(3)
-        m["ts_sec"] = np.zeros(3)
+        m["ts_us"] = np.zeros(3, dtype=np.int64)
         vec = feature_vector(**m)
         assert vec[12] == 0.0001
 

@@ -37,7 +37,7 @@ def _oracle_features(synth_df):
     turns = [
         dict(
             conv_id=r["conv_id"],
-            ts_sec=r["ts_sec"],
+            ts_us=r["ts_us"],
             turn_idx=r["turn_idx"],
             is_fwd=bool(r["is_fwd"]),
             plen=r["plen"],
@@ -59,6 +59,13 @@ def _oracle_features(synth_df):
     return expected
 
 
+# Tolerance note: every statistic is round(x, 6), so two implementations whose
+# raw values agree to 1e-12 can still differ by exactly 1e-6 when the 7th
+# decimal sits on the .5 boundary (np pairwise sum vs Python sequential sum).
+# atol of 1.2e-6 = one rounding quantum; anything real shows up far larger.
+ATOL = 1.2e-6
+
+
 def test_kernel_matches_pure_python_oracle(spark, synth_df):
     got = _spark_features(spark, synth_df, engine="kernel")
     expected = _oracle_features(synth_df)
@@ -66,7 +73,7 @@ def test_kernel_matches_pure_python_oracle(spark, synth_df):
     assert len(got) > N_CONVS / 2  # sessions actually split
     for key in expected:
         np.testing.assert_allclose(
-            got[key], expected[key], rtol=1e-6, atol=5e-7,
+            got[key], expected[key], rtol=1e-6, atol=ATOL,
             err_msg=f"group {key}: {list(zip(FEATURE_NAMES, got[key], expected[key]))}",
         )
 
@@ -77,12 +84,12 @@ def test_expr_twin_matches_kernel(spark, synth_df):
     assert set(kernel) == set(expr)
     for key in kernel:
         np.testing.assert_allclose(
-            expr[key], kernel[key], rtol=1e-6, atol=5e-7,
+            expr[key], kernel[key], rtol=1e-6, atol=ATOL,
             err_msg=f"group {key}: " + str(
                 [
                     (n, a, b)
                     for n, a, b in zip(FEATURE_NAMES, expr[key], kernel[key])
-                    if not np.isclose(a, b, rtol=1e-6, atol=5e-7)
+                    if not np.isclose(a, b, rtol=1e-6, atol=ATOL)
                 ]
             ),
         )
