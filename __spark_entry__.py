@@ -16,9 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from flow_feature_spark import oracle_docs as OD
 from flow_feature_spark import oracle_queries as OQ
 from flow_feature_spark.asof import asof_join_merge, asof_join_union_window
 from flow_feature_spark.kernel import extract_session_features
+from flow_feature_spark.ops import dedup as dd
+from flow_feature_spark.ops import multimodal as mm
+from flow_feature_spark.ops import similarity as sim
+from flow_feature_spark.ops import text as tx
 from flow_feature_spark.schema import FEATURE_NAMES
 from flow_feature_spark.sessionize import assign_sessions
 
@@ -132,6 +137,64 @@ def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings) — Spark side runs
+# the ops modules; oracles in oracle_docs mirror the formulas exactly.
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_analysis(spark, sf_dir):
+    return tx.analyze_documents(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_simhash_docs(spark, sf_dir):
+    return dd.simhash_docs(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    return sim.cosine_topk(_embs(spark, sf_dir), n_queries=8, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return sim.lsh_bucket_topk(_embs(spark, sf_dir), dim=64, n_queries=8, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), dim=64, threshold=0.35)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = mm.documents_as_media(_docs(spark, sf_dir))
+    return mm.decode_media(media)
+
+
+# ---------------------------------------------------------------------------
 # Contract functions.
 # ---------------------------------------------------------------------------
 
@@ -158,6 +221,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _sql(OQ.semi_anti_sql),
         "distinct_count": _sql(OQ.distinct_count_sql),
         "topk_per_group": _sql(OQ.topk_per_group_sql),
+        # training-data pipeline ops (documents / embeddings)
+        "text_analysis": q_text_analysis,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -177,4 +252,15 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": OQ.semi_anti_sql(d),
         "distinct_count": OQ.distinct_count_sql(d),
         "topk_per_group": OQ.topk_per_group_sql(d),
+        "text_analysis": OD.text_analysis_sql(d),
+        "dedup_exact": OD.dedup_exact_sql(d),
+        "ngram_jaccard": OD.ngram_jaccard_sql(d),
+        "minhash_signatures": OD.minhash_sql(d),
+        "minhash_lsh_pairs": OD.minhash_lsh_pairs_sql(d),
+        "simhash_docs": OD.simhash_sql(d),
+        "simhash_pairs": OD.simhash_pairs_sql(d),
+        "cosine_topk": OD.cosine_topk_sql(d),
+        "embedding_near_dup": OD.embedding_near_dup_sql(d, threshold=0.35),
+        "multimodal_decode": OD.multimodal_decode_sql(d),
+        # ann_lsh_topk: rows-only (recall vs brute force asserted in pytest)
     }

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads with typed metadata.
+
+Images/audio/video ride as ``binary`` columns next to typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs over
+``mapInPandas``. The decode libraries (PIL/ffmpeg/...) are NOT in this
+container, so the codec step is STUBBED behind ``try: import`` with a
+deterministic fake (documented below) — but the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta_codec", T.StringType(), True),
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("header_byte", T.IntegerType(), True),
+    T.StructField("fake_width", T.IntegerType(), True),
+    T.StructField("fake_height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+])
+
+
+def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap documents into the media table shape (payload = utf-8 bytes).
+
+    Stands in for a real image/audio ingest; the binary column is genuinely
+    binary end-to-end (parquet BYTE_ARRAY, Arrow binary buffers).
+    """
+    return df.select(
+        F.col("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("payload"),
+        F.lit("fake-v1").alias("meta_codec"),
+    )
+
+
+def _decode_stub(payload: bytes | None) -> tuple[int, int, int, int, int]:
+    """Deterministic fake decoder. A real build would do, e.g.::
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+
+    gated behind try/import. Here: metadata derived from the bytes alone so
+    the pipeline is testable and oracle-checkable.
+    """
+    try:  # the real decode path, absent in this container by design
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real image decode not wired in this sandbox")
+    except ImportError:
+        pass
+    if payload is None or len(payload) == 0:
+        return 0, -1, 0, 0, 0
+    n = len(payload)
+    return n, payload[0], n % 640, n % 480, 1 + n % 16
+
+
+def decode_media(media: DataFrame, batch_size_hint: int = 4096) -> DataFrame:
+    """mapInPandas decoder: binary payload -> typed feature columns.
+
+    Partition-parallel, Arrow-batched; the iterator shape means constant
+    memory per task regardless of partition size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["byte_len", "header_byte", "fake_width", "fake_height", "n_frames"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1,0 +1,111 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. Pure column expressions — JVM-side, codegen'd,
+scale-free (embarrassingly parallel over the scan, no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex: word pieces OR single non-space punctuation.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# tiny per-language marker vocabularies for the n-gram/keyword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "et", "des"],
+    "de": ["der", "die", "und", "das"],
+    "zh": [],  # CJK detected by script, below
+}
+
+
+def _r6(c: Column) -> Column:
+    return F.floor(c * 1e6 + 0.5) / 1e6
+
+
+def norm_text(text: Column) -> Column:
+    """Lowercased, whitespace-collapsed canonical form (dedup key basis)."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
+
+
+def ws_token_count(text: Column) -> Column:
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pieces via regexp extraction."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return _r6(n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = F.concat(F.lit(" "), norm_text(text), F.lit(" "))
+    hits = sum(
+        (F.size(F.split(t, f"\\s{w}\\s")) - 1 for w in STOPWORDS),
+        start=F.lit(0),
+    )
+    return _r6(hits.cast("double") / F.greatest(ws_token_count(text), F.lit(1)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct + stopword
+    presence (the usual cheap pre-filter for web-scale corpora)."""
+    n = ws_token_count(text)
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when((punct_ratio(text) < 0.2) & (n > 0), F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return _r6(len_ok + punct_ok + stop_ok)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word / script heuristic language ID (deterministic, SQL-par)."""
+    t = F.concat(F.lit(" "), norm_text(text), F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        return sum(
+            (F.size(F.split(t, f"\\s{w}\\s")) - 1 for w in words), start=F.lit(0)
+        )
+
+    cjk = F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"[^一-鿿]", ""))
+    en, es, fr, de = (hits(LANG_MARKERS[k]) for k in ("en", "es", "fr", "de"))
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((es > en) & (es >= fr) & (es >= de), F.lit("es"))
+        .when((fr > en) & (fr >= de), F.lit("fr"))
+        .when(de > en, F.lit("de"))
+        .when(en > 0, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint (md5 of canonical form)."""
+    return F.md5(norm_text(text))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> per-doc text-analysis feature row."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        ws_token_count(t).alias("n_ws_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(F.coalesce(t, F.lit(""))).cast("long").alias("n_chars_actual"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp_md5"),
+    )

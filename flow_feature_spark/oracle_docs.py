@@ -1,0 +1,349 @@
+"""DuckDB oracle SQL for the documents/embeddings training-data operators.
+
+Each builder mirrors the corresponding flow_feature_spark.ops module formula
+token-for-token (same md5-derived hashes, same r6 rounding, same thresholds),
+so the DataFrame implementations can be checked for exact equality. Dialect
+tokens cover the engine differences (regexp_replace 'g' flag, hex->int64
+parse, list vs array lambdas).
+"""
+
+from __future__ import annotations
+
+from flow_feature_spark.ops.dedup import N_BANDS, N_MINHASH, SHINGLE_K
+from flow_feature_spark.ops.similarity import N_HYPERPLANES, _hyperplane
+from flow_feature_spark.ops.text import BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS
+from flow_feature_spark.oracle_queries import r6
+
+
+def _md5int(dialect: str, x: str) -> str:
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({x}),1,15),16,10) as bigint)"
+    return f"CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+
+def _split(dialect: str, t: str, pattern: str) -> str:
+    if dialect == "spark":
+        return f"split({t}, '{pattern}')"
+    return f"regexp_split_to_array({t}, '{pattern}')"
+
+
+def _re_replace_all(dialect: str, t: str, pattern: str, rep: str) -> str:
+    if dialect == "spark":
+        return f"regexp_replace({t}, '{pattern}', '{rep}')"
+    return f"regexp_replace({t}, '{pattern}', '{rep}', 'g')"
+
+
+def _norm(dialect: str, t: str = "text") -> str:
+    lowered = f"lower(coalesce({t}, ''))"
+    ws = r"\s+"
+    collapsed = _re_replace_all(dialect, lowered, ws, " ")
+    return f"trim({collapsed})"
+
+
+def _arr_len(dialect: str, arr: str) -> str:
+    return f"size({arr})" if dialect == "spark" else f"len({arr})"
+
+
+def _ws_tokens(dialect: str, t: str = "text") -> str:
+    trimmed = f"trim(coalesce({t}, ''))"
+    split_len = _arr_len(dialect, _split(dialect, trimmed, r"\s+"))
+    return f"(CASE WHEN length({trimmed}) = 0 THEN 0 ELSE {split_len} END)"
+
+
+def _hits(dialect: str, padded: str, word: str) -> str:
+    pattern = r"\s" + word + r"\s"
+    return f"({_arr_len(dialect, _split(dialect, padded, pattern))} - 1)"
+
+
+def text_analysis_sql(dialect: str) -> str:
+    d = dialect
+    norm = _norm(d)
+    padded = f"concat(' ', {norm}, ' ')"
+    nchars = "length(coalesce(text, ''))"
+    n_ws = _ws_tokens(d)
+    if d == "spark":
+        n_bpe = f"size(regexp_extract_all(coalesce(text,''), '{BPE_TOKEN_RE}', 0))"
+    else:
+        n_bpe = f"len(regexp_extract_all(coalesce(text,''), '{BPE_TOKEN_RE}'))"
+    coal = "coalesce(text,'')"
+    stripped = _re_replace_all(d, coal, r"[^\w\s]", "")
+    n_punct = f"(length({coal}) - length({stripped}))"
+    punct_ratio = r6(f"cast({n_punct} AS double)/greatest(length({coal}), 1)")
+    stop_hits = " + ".join(_hits(d, padded, w) for w in STOPWORDS)
+    stop_ratio = r6(f"cast({stop_hits} AS double)/greatest({n_ws}, 1)")
+    cjk = f"length({_re_replace_all(d, coal, '[^一-鿿]', '')})"
+    marker = {
+        k: (" + ".join(_hits(d, padded, w) for w in v) if v else "0")
+        for k, v in LANG_MARKERS.items()
+    }
+    lang_pred = f"""CASE
+      WHEN {cjk} > 0 THEN 'zh'
+      WHEN ({marker['es']}) > ({marker['en']}) AND ({marker['es']}) >= ({marker['fr']})
+           AND ({marker['es']}) >= ({marker['de']}) THEN 'es'
+      WHEN ({marker['fr']}) > ({marker['en']}) AND ({marker['fr']}) >= ({marker['de']}) THEN 'fr'
+      WHEN ({marker['de']}) > ({marker['en']}) THEN 'de'
+      WHEN ({marker['en']}) > 0 THEN 'en'
+      ELSE 'unknown' END"""
+    quality = r6(
+        f"(CASE WHEN {n_ws} >= 5 AND {n_ws} <= 5000 THEN 0.4 ELSE 0.0 END"
+        f" + CASE WHEN {punct_ratio} < 0.2 AND {n_ws} > 0 THEN 0.3 ELSE 0.0 END"
+        f" + CASE WHEN {stop_ratio} > 0.05 THEN 0.3 ELSE 0.0 END)"
+    )
+    return f"""
+SELECT doc_id,
+       cast({n_ws} AS bigint)    AS n_ws_tokens,
+       cast({n_bpe} AS bigint)   AS n_bpe_tokens,
+       cast({nchars} AS bigint)  AS n_chars_actual,
+       {punct_ratio}             AS punct_ratio,
+       {stop_ratio}              AS stopword_ratio,
+       {quality}                 AS quality,
+       {lang_pred}               AS lang_pred,
+       md5({norm})               AS fp_md5
+FROM documents
+"""
+
+
+def dedup_exact_sql(dialect: str) -> str:
+    norm = _norm(dialect)
+    return f"""
+SELECT fp, cast(count(*) AS bigint) AS group_size,
+       min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, md5({norm}) AS fp FROM documents) t
+GROUP BY fp HAVING count(*) >= 2
+"""
+
+
+def _shingles_cte(dialect: str, k: int = SHINGLE_K) -> str:
+    d = dialect
+    norm = _norm(d)
+    words = _split(d, norm, " ")
+    if d == "spark":
+        sh = (
+            f"array_distinct(transform(sequence(1, greatest({_arr_len(d, words)} - {k-1}, 0)),"
+            f" i -> concat_ws(' ', slice({words}, i, {k}))))"
+        )
+        explode = f"explode({sh})"
+        return f"""
+doc_sh AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, {explode} AS shingle FROM documents) t
+  WHERE length(shingle) > 0
+)"""
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest({_arr_len(d, words)} - {k-1}, 0) + 1),"
+        f" i -> array_to_string(({words})[i:i+{k-1}], ' ')))"
+    )
+    return f"""
+doc_sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+  -- empty shingles filtered below to mirror the Spark build
+),
+doc_sh_f AS (SELECT * FROM doc_sh WHERE length(shingle) > 0)"""
+
+
+def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
+    d = dialect
+    src = "doc_sh" if d == "spark" else "doc_sh_f"
+    return f"""
+WITH {_shingles_cte(d)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) AS bigint) AS inter
+  FROM {src} a JOIN {src} b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       cast(sa.n_sh AS bigint) AS n_a, cast(sb.n_sh AS bigint) AS n_b,
+       {r6('inter / (sa.n_sh + sb.n_sh - inter)')} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {r6('inter / (sa.n_sh + sb.n_sh - inter)')} >= {threshold}
+"""
+
+
+def _seeds_src(dialect: str, k: int) -> str:
+    if dialect == "spark":
+        return f"(SELECT explode(sequence(0, {k-1})) AS seed)"
+    return f"(SELECT unnest(range({k})) AS seed)"
+
+
+def minhash_sql(dialect: str, k: int = N_MINHASH) -> str:
+    d = dialect
+    src = "doc_sh" if d == "spark" else "doc_sh_f"
+    h = _md5int(d, "concat(shingle, '#', cast(seed AS string))")
+    cols = ",\n  ".join(
+        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(k)
+    )
+    return f"""
+WITH {_shingles_cte(d)},
+hashed AS (
+  SELECT doc_id, seed, {h} AS h
+  FROM {src} CROSS JOIN {_seeds_src(d, k)} s
+)
+SELECT doc_id, {cols}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs_sql(
+    dialect: str, k: int = N_MINHASH, bands: int = N_BANDS
+) -> str:
+    d = dialect
+    rows = k // bands
+    band_rows = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"cast(mh{b * rows + r} AS string)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws('_', {parts})) AS bh FROM sig"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sig AS ({minhash_sql(d, k)}),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def simhash_sql(dialect: str) -> str:
+    d = dialect
+    norm = _norm(d)
+    words = _split(d, norm, " ")
+    if d == "spark":
+        toks = f"array_distinct({words})"
+        def bitsum(i: int) -> str:
+            return (
+                f"aggregate({toks}, 0, (acc, w) -> acc + "
+                f"(CASE WHEN (shiftright({_md5int(d, 'w')}, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+            )
+    else:
+        toks = f"list_distinct({words})"
+        def bitsum(i: int) -> str:
+            return (
+                f"list_sum(list_transform({toks}, w -> "
+                f"CASE WHEN (({_md5int(d, 'w')} >> {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+            )
+    bit_terms = " + ".join(
+        f"(CASE WHEN ({bitsum(i)}) > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+SELECT doc_id, cast({bit_terms} AS bigint) AS simhash
+FROM documents
+"""
+
+
+def simhash_pairs_sql(dialect: str, max_hamming: int = 3) -> str:
+    d = dialect
+    xor = "(sa ^ sb)" if d == "spark" else "xor(sa, sb)"
+    return f"""
+WITH s AS ({simhash_sql(d)}),
+keyed AS (SELECT doc_id, simhash, simhash & 255 AS h0,
+                 {"shiftright(simhash, 8)" if d == "spark" else "(simhash >> 8)"} AS h1
+          FROM s),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM keyed a JOIN keyed b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+  FROM keyed a JOIN keyed b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count({xor}) AS int) AS hamming
+FROM pairs
+WHERE bit_count({xor}) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity.
+# ---------------------------------------------------------------------------
+
+def _dot_sql(dialect: str, a: str, b: str, dim: int) -> str:
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+            f" cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))"
+    )
+
+
+def _norm2_sql(dialect: str, a: str, dim: int) -> str:
+    return _dot_sql(dialect, a, a, dim)
+
+
+def cosine_topk_sql(dialect: str, dim: int = 64, n_queries: int = 8, k: int = 5) -> str:
+    d = dialect
+    dot = _dot_sql(d, "q.qv", "c.cv", dim)
+    n1 = _norm2_sql(d, "q.qv", dim)
+    n2 = _norm2_sql(d, "c.cv", dim)
+    cos = r6(f"({dot}) / (sqrt({n1}) * sqrt({n2}))")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.cand_id, {cos} AS cos_sim
+  FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim,
+       cast(rn AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored) t
+WHERE rn <= {k}
+"""
+
+
+def _bucket_sql(dialect: str, vec: str, dim: int, n_planes: int = N_HYPERPLANES) -> str:
+    terms = []
+    for p in range(n_planes):
+        if dialect == "spark":
+            hp = "array(" + ", ".join(repr(v) + "D" for v in _hyperplane(dim, p)) + ")"
+        else:
+            hp = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        dot = _dot_sql(dialect, vec, hp, dim)
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "cast(" + " + ".join(terms) + " AS int)"
+
+
+def embedding_near_dup_sql(dialect: str, dim: int = 64, threshold: float = 0.9) -> str:
+    d = dialect
+    bucket = _bucket_sql(d, "embedding", dim)
+    dot = _dot_sql(d, "a.v", "b.v", dim)
+    na = _norm2_sql(d, "a.v", dim)
+    nb = _norm2_sql(d, "b.v", dim)
+    cos = r6(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH keyed AS (
+  SELECT vec_id AS vid, embedding AS v, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b, {cos} AS cos_sim
+FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE {cos} >= {threshold}
+"""
+
+
+def multimodal_decode_sql(dialect: str) -> str:
+    """Oracle for the mapInPandas decode stub (documents are ASCII, so
+    first-UTF-8-byte == codepoint of the first char)."""
+    blen = (
+        "octet_length(encode(coalesce(text,''), 'utf-8'))"
+        if dialect == "spark"
+        else "octet_length(encode(coalesce(text,'')))"
+    )
+    first = "ascii(substring(coalesce(text,''), 1, 1))"
+    return f"""
+SELECT doc_id,
+  cast({blen} AS bigint) AS byte_len,
+  cast(CASE WHEN {blen} = 0 THEN -1 ELSE {first} END AS int) AS header_byte,
+  cast(CASE WHEN {blen} = 0 THEN 0 ELSE {blen} % 640 END AS int) AS fake_width,
+  cast(CASE WHEN {blen} = 0 THEN 0 ELSE {blen} % 480 END AS int) AS fake_height,
+  cast(CASE WHEN {blen} = 0 THEN 0 ELSE 1 + ({blen} % 16) END AS int) AS n_frames
+FROM documents
+"""
