@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from flow_feature_spark import oracle_docs as OD
 from flow_feature_spark import oracle_queries as OQ
-from flow_feature_spark.asof import asof_join_merge, asof_join_union_window
+from flow_feature_spark.asof import (
+    asof_join_fast,
+    asof_join_merge,
+    asof_join_union_window,
+)
 from flow_feature_spark.kernel import extract_session_features
 from flow_feature_spark.ops import dedup as dd
 from flow_feature_spark.ops import multimodal as mm
@@ -70,11 +74,22 @@ def _events_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_feature_vector_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship grouped pandas kernel (U1), r6 rounding to match the SQL
-    oracle bit-for-bit (reference-parity half_even mode is pinned in pytest)."""
+    """The grouped pandas kernel (U1), r6 rounding to match the SQL oracle
+    bit-for-bit (reference-parity half_even mode is pinned in pytest)."""
     turns = _events_turns(spark, sf_dir)
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
     feats = extract_session_features(sess, rounding="r6")
+    return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
+
+
+def q_feature_vector_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-vectorized mapInPandas kernel (scale path) — same oracle;
+    bit-identical to the grouped kernel (asserted in tests and here)."""
+    from flow_feature_spark.kernel_fast import extract_session_features_fast
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    feats = extract_session_features_fast(sess, rounding="r6")
     return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
 
 
@@ -121,6 +136,16 @@ def q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _session_feature_payload(spark, sf_dir)
     probes = _probes(spark, sf_dir)
     out = asof_join_merge(feats, probes, strict=True)
+    return out.select(
+        "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
+    )
+
+
+def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 production path: vectorized union sort-merge (same oracle)."""
+    feats = _session_feature_payload(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    out = asof_join_fast(feats, probes, strict=True)
     return out.select(
         "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
     )
@@ -199,8 +224,9 @@ def q_multimodal_decode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: sessionized 72-feature vectors (kernel)."""
-    return q_feature_vector_kernel(spark, SF_SMOKE)
+    """Flagship query on sf0.001: sessionized 72-feature vectors via the
+    batch-vectorized Arrow kernel."""
+    return q_feature_vector_fast(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -213,7 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union_window_sql": _sql(OQ.asof_sql),
         # engine-API implementations against independent oracles
         "session_features_kernel": q_feature_vector_kernel,
+        "session_features_fast": q_feature_vector_fast,
         "asof_merge": q_asof_merge,
+        "asof_fast": q_asof_fast,
         "asof_union_window_api": q_asof_union_window_api,
         # relational operator coverage
         "tpch_q1": _sql(OQ.tpch_q1_sql),
@@ -245,7 +273,9 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_running": OQ.cumulative_sql(d),
         "asof_union_window_sql": OQ.asof_sql(d),
         "session_features_kernel": OQ.feature_vector_sql(d),
+        "session_features_fast": OQ.feature_vector_sql(d),
         "asof_merge": OQ.asof_sql(d),
+        "asof_fast": OQ.asof_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),

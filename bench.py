@@ -1,0 +1,122 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), plus the
+deterministic synthetic transcript generator at a fixed row count for the
+feature-vector rows/sec figure (the BASELINE.json metric).
+
+{"metric": "...", "value": <total wall sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_convs = int(os.environ.get("BENCH_SYNTH_CONVS", "20000"))
+    turns_mean = int(os.environ.get("BENCH_SYNTH_TURNS_MEAN", "60"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.prepare import normalize_turns
+    from flow_feature_spark.session import get_spark
+    from flow_feature_spark.sessionize import assign_sessions
+    from flow_feature_spark.synth import synth_transcripts
+
+    spark = get_spark(
+        app_name="flow_feature_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run may pay codegen/JIT
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
+
+    qmap = entrymod.queries()
+
+    # warm the JVM + Python workers (discarded)
+    qmap["sessionize_counts"](spark, sf_dir).count()
+
+    # --- headline: feature vectors on the driver events table
+    timed("feature_fast_events", lambda: qmap["session_features_fast"](spark, sf_dir).count())
+
+    # --- headline: feature-vector throughput on the synthetic transcript
+    # table, materialized to parquet first so the timed path is the real
+    # pipeline: columnar scan -> normalize -> sessionize -> batch kernel.
+    import tempfile
+
+    synth_path = os.path.join(tempfile.mkdtemp(prefix="ffs_bench_"), "transcripts")
+    tr = synth_transcripts(spark, n_convs=synth_convs, turns_mean=turns_mean, hot_factor=100)
+    tr.write.mode("overwrite").parquet(synth_path)
+    stored = spark.read.parquet(synth_path)
+    n_turns = stored.count()
+
+    dt, n_vecs = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_vecs = sessionize_and_extract_fast(
+            normalize_turns(stored), gap_seconds=1800.0, rounding="r6",
+            num_partitions=2 * cpus,
+        ).count()
+        dt = min(dt, time.time() - t0)
+    queries["feature_fast_synth"] = round(dt, 3)
+    extra["synth_turns"] = n_turns
+    extra["synth_feature_rows"] = n_vecs
+    extra["turns_per_sec"] = round(n_turns / dt, 1)
+    extra["feature_rows_per_sec"] = round(n_vecs / dt, 1)
+
+    # --- the rest of the headline suite
+    for name in (
+        "session_features_sql",
+        "asof_fast",
+        "asof_union_window_sql",
+        "cumulative_running",
+        "lag_lead_backfill",
+        "tpch_q1",
+        "broadcast_join",
+        "minhash_lsh_pairs",
+        "simhash_docs",
+        "cosine_topk",
+        "text_analysis",
+    ):
+        timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (feature kernel + asof + windows + dedup/similarity)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

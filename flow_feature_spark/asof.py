@@ -9,11 +9,15 @@ Two independent strategies, cross-checked in tests:
   ignorenulls=True)``, keep probe rows. Strictness (`<` vs `<=`) is encoded in
   the tie order of the ``side`` column at equal timestamps. This is the
   SQL-expressible form used as the DuckDB oracle.
-* ``asof_join_merge`` — the sort-merge fast path: cogroup both sides on the
-  entity key (one hash co-partitioning shuffle each), then
-  ``pd.merge_asof(..., allow_exact_matches=not strict)`` per group inside an
-  Arrow-batched cogrouped pandas UDF. At scale this is a single co-shuffle +
-  per-bucket linear merge — the distributed analog of a sort-merge as-of join.
+* ``asof_join_merge`` — cogrouped ``pd.merge_asof(...,
+  allow_exact_matches=not strict)`` per entity bucket — readable, exact, but
+  pays a Python call per entity.
+* ``asof_join_fast`` — the production sort-merge path: union both sides,
+  ONE hash co-shuffle on entity + partition-local sort by (entity, ts, side),
+  then a single vectorized forward-fill pass per Arrow batch
+  (np.maximum.accumulate over feature-row indices) with one carried feature
+  row across batch boundaries. No per-entity Python calls; scales to any
+  number of entities.
 
 Zero-leakage contract (strict=True): a probe at ts T sees only features with
 feature_ts strictly < T. Probes before any feature, and entities with no
@@ -137,3 +141,87 @@ def asof_join_merge(
         .cogroup(f.groupBy("__ent"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_fast(
+    features: DataFrame,
+    probes: DataFrame,
+    feature_entity: str = "conv_id",
+    feature_ts: str = "feature_ts",
+    probe_entity: str = "entity_id",
+    probe_ts: str = "probe_ts",
+    strict: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Vectorized distributed sort-merge as-of join (see module docstring)."""
+    import numpy as np
+
+    vals = _feature_value_cols(features, feature_entity, feature_ts)
+    probe_side, feat_side = (0, 1) if strict else (1, 0)
+
+    f = features.select(
+        F.col(feature_entity).alias("__ent"),
+        F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(feat_side).alias("__side"),
+        *[F.col(c) for c in vals],
+    )
+    p = probes.select(
+        F.col(probe_entity).alias("__ent"),
+        F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(probe_side).alias("__side"),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(c) for c in vals],
+    )
+    u = f.unionByName(p)
+    u = (
+        u.repartition(num_partitions, "__ent") if num_partitions else u.repartition("__ent")
+    ).sortWithinPartitions("__ent", "__t_us", "__side")
+
+    out_fields = [
+        T.StructField(probe_entity, T.StringType(), False),
+        T.StructField(probe_ts, T.TimestampType(), False),
+    ] + [T.StructField(c, features.schema[c].dataType, True) for c in vals]
+    out_schema = T.StructType(out_fields)
+
+    is_probe_side = probe_side
+
+    def run(batches):
+        carry: pd.DataFrame | None = None  # exactly one feature row, or None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            n = len(pdf)
+            if n == 0:
+                continue
+            ent = pdf["__ent"].to_numpy()
+            side = pdf["__side"].to_numpy()
+            is_feat = side != is_probe_side
+            idx = np.arange(n)
+            last_feat = np.maximum.accumulate(np.where(is_feat, idx, -1))
+            probe_rows = np.flatnonzero(~is_feat)
+            if len(probe_rows):
+                src = last_feat[probe_rows]
+                ok = src >= 0
+                ok[ok] = ent[src[ok]] == ent[probe_rows[ok]]
+                out = pd.DataFrame(
+                    {
+                        probe_entity: ent[probe_rows],
+                        probe_ts: pd.to_datetime(
+                            pdf["__t_us"].to_numpy()[probe_rows], unit="us"
+                        ),
+                    }
+                )
+                for c in vals:
+                    col = pdf[c].to_numpy()
+                    taken = col[np.where(ok, src, 0)]
+                    taken = pd.Series(taken).where(ok)
+                    out[c] = taken
+                yield out
+            # carry the most recent feature row of the final entity
+            feats_of_last = np.flatnonzero(is_feat & (ent == ent[-1]))
+            if len(feats_of_last):
+                carry = pdf.iloc[[feats_of_last[-1]]]
+            else:
+                carry = pdf.iloc[[0]].iloc[0:0] if carry is None else carry.iloc[0:0]
+        return
+
+    return u.mapInPandas(run, schema=out_schema)

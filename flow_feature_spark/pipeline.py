@@ -29,6 +29,14 @@ def transcript_features(
     rounding); engine='expr' uses the pure-Catalyst expression twin.
     """
     turns = normalize_turns(df, **normalize_kwargs)
+    if engine == "fast":
+        # fused path: sessionization happens inside the batch kernel's single
+        # sorted pass — one exchange for the whole pipeline.
+        from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+
+        return attach_feature_ts(
+            sessionize_and_extract_fast(turns, gap_seconds=gap_seconds, rounding=rounding)
+        )
     sess = assign_sessions(turns, gap_seconds=gap_seconds)
     if engine == "kernel":
         feats = extract_session_features(sess, rounding=rounding)

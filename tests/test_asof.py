@@ -93,3 +93,27 @@ def test_ghost_entity_all_null(spark, data):
     out = asof_join_union_window(feats, ghosts, strict=True)
     assert out.filter(F.col("session_id").isNotNull()).count() == 0
     assert out.count() == ghosts.count()
+
+
+def test_fast_asof_agrees_both_modes(spark, data):
+    from flow_feature_spark.asof import asof_join_fast
+
+    feats, probes = data
+    for strict in (True, False):
+        a = _collect(asof_join_union_window(feats, probes, strict=strict))
+        b = _collect(asof_join_fast(feats, probes, strict=strict))
+        assert a == b, f"strict={strict}"
+
+
+def test_fast_asof_tiny_batches(spark, data):
+    from flow_feature_spark.asof import asof_join_fast
+
+    feats, probes = data
+    expected = _collect(asof_join_union_window(feats, probes, strict=True))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = _collect(asof_join_fast(feats, probes, strict=True))
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
