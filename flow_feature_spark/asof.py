@@ -193,6 +193,7 @@ def asof_join_fast(
             if n == 0:
                 continue
             ent = pdf["__ent"].to_numpy()
+            ent_codes = pd.factorize(ent)[0]  # C-speed, avoids object compares
             side = pdf["__side"].to_numpy()
             is_feat = side != is_probe_side
             idx = np.arange(n)
@@ -201,7 +202,7 @@ def asof_join_fast(
             if len(probe_rows):
                 src = last_feat[probe_rows]
                 ok = src >= 0
-                ok[ok] = ent[src[ok]] == ent[probe_rows[ok]]
+                ok[ok] = ent_codes[src[ok]] == ent_codes[probe_rows[ok]]
                 out = pd.DataFrame(
                     {
                         probe_entity: ent[probe_rows],
@@ -217,7 +218,7 @@ def asof_join_fast(
                     out[c] = taken
                 yield out
             # carry the most recent feature row of the final entity
-            feats_of_last = np.flatnonzero(is_feat & (ent == ent[-1]))
+            feats_of_last = np.flatnonzero(is_feat & (ent_codes == ent_codes[-1]))
             if len(feats_of_last):
                 carry = pdf.iloc[[feats_of_last[-1]]]
             else:

@@ -122,6 +122,9 @@ def batch_feature_frame(pdf: pd.DataFrame, rounding: str = "r6") -> pd.DataFrame
     if N == 0:
         return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA.fields])
     conv = pdf["conv_id"].to_numpy()
+    # factorize: C-speed hashing instead of per-element PyObject string
+    # comparisons (object-dtype == is Python-speed and dominates otherwise)
+    conv_codes = pd.factorize(conv)[0]
     sess = pdf["session_id"].to_numpy(np.int64)
     ts = pdf["ts_us"].to_numpy(np.int64)
     fwd = pdf["is_fwd"].to_numpy(bool)
@@ -131,7 +134,7 @@ def batch_feature_frame(pdf: pd.DataFrame, rounding: str = "r6") -> pd.DataFrame
     ihl = pdf["ihl"].to_numpy(np.int64)
 
     new_group = np.ones(N, dtype=bool)
-    new_group[1:] = (conv[1:] != conv[:-1]) | (sess[1:] != sess[:-1])
+    new_group[1:] = (conv_codes[1:] != conv_codes[:-1]) | (sess[1:] != sess[:-1])
     starts = np.flatnonzero(new_group)
     ends = np.append(starts[1:], N)
     counts = ends - starts
@@ -252,6 +255,7 @@ def sessionize_and_extract_fast(
     rounding: str = "r6",
     conv_col: str = "conv_id",
     num_partitions: int | None = None,
+    metrics=None,
 ) -> DataFrame:
     """Fused sessionize + feature extraction: ONE shuffle total.
 
@@ -286,11 +290,12 @@ def sessionize_and_extract_fast(
             if len(pdf) == 0:
                 continue
             conv = pdf["conv_id"].to_numpy()
+            conv_codes = pd.factorize(conv)[0]
             ts = pdf["ts_us"].to_numpy(np.int64)
             n = len(pdf)
             is_new = np.ones(n, dtype=np.int64)
             if n > 1:
-                same_conv = conv[1:] == conv[:-1]
+                same_conv = conv_codes[1:] == conv_codes[:-1]
                 small_gap = (ts[1:] - ts[:-1]) <= gap_us
                 is_new[1:] = (~(same_conv & small_gap)).astype(np.int64)
             carried = prev_conv is not None and conv[0] == prev_conv
@@ -298,7 +303,7 @@ def sessionize_and_extract_fast(
                 is_new[0] = 0
             c = np.cumsum(is_new)
             conv_start = np.ones(n, dtype=bool)
-            conv_start[1:] = conv[1:] != conv[:-1]
+            conv_start[1:] = conv_codes[1:] != conv_codes[:-1]
             starts = np.flatnonzero(conv_start)
             reps = np.diff(np.append(starts, n))
             base = np.repeat(c[starts], reps)
@@ -310,16 +315,22 @@ def sessionize_and_extract_fast(
             pdf = pdf.assign(session_id=sid)
 
             # hold back the trailing session of the trailing conv
-            tail_mask = (conv == conv[-1]) & (sid == sid[-1])
+            tail_mask = (conv_codes == conv_codes[-1]) & (sid == sid[-1])
             tail_start = int(n - tail_mask[::-1].cumprod().sum())
             carry = pdf.iloc[tail_start:]
             prev_conv = conv[-1]
             prev_sid = int(sid[-1])
             head = pdf.iloc[:tail_start]
             if len(head):
-                yield batch_feature_frame(head, rounding)
+                out = batch_feature_frame(head, rounding)
+                if metrics is not None:
+                    metrics.record(len(head), len(out))
+                yield out
         if carry is not None and len(carry):
-            yield batch_feature_frame(carry, rounding)
+            out = batch_feature_frame(carry, rounding)
+            if metrics is not None:
+                metrics.record(len(carry), len(out))
+            yield out
 
     return sorted_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
@@ -349,9 +360,9 @@ def extract_session_features_fast(
             if len(pdf) == 0:
                 continue
             # hold back the trailing (possibly incomplete) group
-            last_conv = pdf["conv_id"].iat[-1]
-            last_sess = pdf["session_id"].iat[-1]
-            tail_mask = (pdf["conv_id"] == last_conv) & (pdf["session_id"] == last_sess)
+            codes = pd.factorize(pdf["conv_id"].to_numpy())[0]
+            sess_arr = pdf["session_id"].to_numpy(np.int64)
+            tail_mask = (codes == codes[-1]) & (sess_arr == sess_arr[-1])
             # rows of the last group are a contiguous suffix (sorted input)
             tail_start = int(len(pdf) - tail_mask[::-1].cumprod().sum())
             carry = pdf.iloc[tail_start:]

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill to tmpfs when available: the sandbox's virtio disk has
+    # high, variable latency; a real cluster would use local NVMe.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if shm is None and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+    if shm:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,47 @@
+"""Salt-bucketed partial-moment aggregation vs the exact kernel (SURVEY.md
+§4.1): tiny buckets force many boundary stitches; hot conv exercises skew."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flow_feature_spark.kernel import extract_session_features
+from flow_feature_spark.prepare import normalize_turns
+from flow_feature_spark.salted import salted_session_features
+from flow_feature_spark.schema import FEATURE_NAMES
+from flow_feature_spark.sessionize import assign_sessions
+from flow_feature_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    tr = synth_transcripts(spark, n_convs=30, turns_mean=20, hot_factor=60)
+    return assign_sessions(normalize_turns(tr), gap_seconds=1800.0).cache()
+
+
+def _collect(df):
+    return {
+        (r["conv_id"], r["session_id"]): np.array([r[n] for n in FEATURE_NAMES])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("bucket_turns", [7, 100000])
+def test_salted_matches_exact_kernel(spark, sess, bucket_turns):
+    exact = _collect(extract_session_features(sess, rounding="half_even"))
+    salted = _collect(
+        salted_session_features(sess, bucket_turns=bucket_turns, rounding="half_even")
+    )
+    assert set(exact) == set(salted)
+    for k in exact:
+        np.testing.assert_allclose(
+            salted[k], exact[k], rtol=1e-6, atol=1.2e-6,
+            err_msg=str(
+                [
+                    (n, a, b)
+                    for n, a, b in zip(FEATURE_NAMES, salted[k], exact[k])
+                    if not np.isclose(a, b, rtol=1e-6, atol=1.2e-6)
+                ]
+            ),
+        )

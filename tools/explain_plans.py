@@ -1,0 +1,107 @@
+"""Physical-plan audit: assert the plans the engine is supposed to produce.
+
+Checks, on the real testdata, that:
+* the transcript feature pipeline has exactly ONE exchange before the kernel
+  and its parquet scan is column-pruned to the used columns;
+* filters on scan queries reach the parquet reader (PushedFilters);
+* the broadcast-dim join actually broadcasts;
+* codegen spans cover the expression pipeline (WholeStageCodegen present).
+
+Run: python tools/explain_plans.py [sf_dir]    (exit 1 on any violated check)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.prepare import normalize_turns
+    from flow_feature_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16, app_name="explain")
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        print(f"[{'OK' if ok else 'FAIL'}] {name}" + (f" — {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    # 1. fused feature pipeline on a transcript-shaped table: ONE exchange
+    # (the events mapping adds a row_number window shuffle by design, so the
+    # audit uses the native transcript shape the engine is built for)
+    import tempfile
+
+    from flow_feature_spark.synth import synth_transcripts
+
+    tpath = tempfile.mkdtemp(prefix="ffs_plan_") + "/tr"
+    synth_transcripts(spark, n_convs=50, turns_mean=10).write.parquet(tpath)
+    turns = normalize_turns(spark.read.parquet(tpath))
+    feats = sessionize_and_extract_fast(turns, 1800.0, rounding="r6")
+    p = plan_of(feats, "simple")
+    n_exchange = len(re.findall(r"\+- Exchange|^Exchange", p, re.M))
+    check("feature pipeline has exactly 1 exchange", n_exchange == 1,
+          f"found {n_exchange}")
+    m = re.search(r"ReadSchema: (.*?)$", plan_of(feats, "formatted"), re.M)
+    read_schema = m.group(1) if m else ""
+    check(
+        "transcript scan pruned (no text-free columns dropped wrongly)",
+        "text" in read_schema and "ts" in read_schema,
+        read_schema[:160],
+    )
+
+    # events mapping: row_number window + kernel — 2 exchanges expected
+    ev_feats = sessionize_and_extract_fast(
+        e._events_turns(spark, sf_dir), 43200.0, rounding="r6"
+    )
+    pe = plan_of(ev_feats, "simple")
+    n_ev = len(re.findall(r"\+- Exchange|^Exchange", pe, re.M))
+    check("events-mapped pipeline has <= 2 exchanges", n_ev <= 2, f"found {n_ev}")
+
+    # 2. predicate pushdown on a filtered scan
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    p2 = plan_of(q)
+    check("filter pushed to parquet", "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in p2
+          or "GreaterThan(l_quantity" in p2, )
+    m2 = re.search(r"ReadSchema: (.*)", p2)
+    check("projection pruned to 2 columns",
+          m2 is not None and m2.group(1).count(":") == 2, m2.group(1) if m2 else "")
+
+    # 3. broadcast join
+    bq = e.queries()["broadcast_join"](spark, sf_dir)
+    p3 = plan_of(bq)
+    check("dim join is broadcast", "BroadcastHashJoin" in p3)
+
+    # 4. codegen on the expression pipeline (AQE hides codegen subtrees until
+    # the final plan, so toggle it off just for this inspection)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sq = e.queries()["session_features_sql"](spark, sf_dir)
+        p4 = plan_of(sq, "codegen")
+        m4 = re.search(r"Found (\d+) WholeStageCodegen", p4)
+        check("whole-stage codegen present", m4 is not None and int(m4.group(1)) >= 1,
+              m4.group(0) if m4 else "no codegen subtrees")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    spark.stop()
+    print("\nAll checks passed" if not failures else f"\nFAILED: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
