@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _sql(OQ.semi_anti_sql),
         "distinct_count": _sql(OQ.distinct_count_sql),
         "topk_per_group": _sql(OQ.topk_per_group_sql),
+        "whole_table_flow": _sql(OQ.whole_table_flow_sql),
+        "json_field": _sql(OQ.json_field_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -282,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": OQ.semi_anti_sql(d),
         "distinct_count": OQ.distinct_count_sql(d),
         "topk_per_group": OQ.topk_per_group_sql(d),
+        "whole_table_flow": OQ.whole_table_flow_sql(d),
+        "json_field": OQ.json_field_sql(d),
         "text_analysis": OD.text_analysis_sql(d),
         "dedup_exact": OD.dedup_exact_sql(d),
         "ngram_jaccard": OD.ngram_jaccard_sql(d),

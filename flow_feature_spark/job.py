@@ -1,0 +1,134 @@
+"""spark-submit entry point + config-driven job spec.
+
+The reference drives runs from an INI file + CLI (run.conf via configparser,
+get_flow_feature.py:83-125; argparse in flow_basic.py:140-161 — SURVEY.md §2.1
+S5/S6). This is the Spark-native equivalent: one argparse surface covering
+mode, paths, sessionization gap, engine choice, sink format (CSV with optional
+header — the reference's S3 sink — or parquet), checkpoint/resume, and
+parallelism, runnable as
+
+    spark-submit --py-files flow_feature_spark.zip -m flow_feature_spark.job \
+        --input /data/transcripts --output /out/features --mode features
+
+or plain ``python -m flow_feature_spark.job`` for local runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flow_feature_spark.job")
+    p.add_argument("--input", required=True, help="transcript table path (parquet)")
+    p.add_argument("--output", required=True, help="output path")
+    p.add_argument(
+        "--mode",
+        choices=["features", "sessionize", "asof"],
+        default="features",
+        help="features: per-session 72-vectors; sessionize: turn->session map; "
+        "asof: attach vectors to --probes",
+    )
+    p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
+    p.add_argument("--gap-seconds", type=float, default=1800.0)
+    p.add_argument("--engine", choices=["fast", "kernel", "expr", "salted"], default="fast")
+    p.add_argument("--rounding", choices=["half_even", "r6"], default="half_even")
+    p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    p.add_argument("--csv-header", action="store_true",
+                   help="write a header row (reference: print_colname switch)")
+    p.add_argument("--checkpoint", help="checkpoint dir: resume if a valid manifest exists")
+    p.add_argument("--drop-housekeeping", action="store_true",
+                   help="drop short system/housekeeping turns before grouping "
+                   "(reference is_handshake_packet analog; off by default like "
+                   "the reference, which defines but never calls it)")
+    p.add_argument("--reset-tool", default=None,
+                   help="tool name that force-opens a new session (reference "
+                   "flow_basic SYN start_time reset analog)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def run(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from flow_feature_spark.asof import asof_join_fast
+    from flow_feature_spark.io import resume_or_compute, write_checkpoint
+    from flow_feature_spark.kernel import attach_feature_ts, extract_session_features
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.features import session_features_expr
+    from flow_feature_spark.prepare import drop_housekeeping, normalize_turns
+    from flow_feature_spark.salted import salted_session_features
+    from flow_feature_spark.session import get_spark
+    from flow_feature_spark.sessionize import assign_sessions, dedup_turns
+
+    spark = get_spark(
+        app_name=f"ffs_job_{args.mode}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    def compute():
+        df = spark.read.parquet(args.input)
+        turns = normalize_turns(df)
+        if args.drop_housekeeping:
+            turns = drop_housekeeping(turns)
+        turns = dedup_turns(turns)
+        if args.mode == "sessionize":
+            return assign_sessions(
+                turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool
+            ).select("conv_id", "turn_idx", "session_id", "ts")
+        if args.engine == "fast" and args.reset_tool is None:
+            feats = sessionize_and_extract_fast(
+                turns, gap_seconds=args.gap_seconds, rounding=args.rounding
+            )
+        else:
+            sess = assign_sessions(
+                turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool
+            )
+            if args.engine == "expr":
+                feats = session_features_expr(sess)
+            elif args.engine == "salted":
+                feats = salted_session_features(sess, rounding=args.rounding)
+            else:
+                feats = extract_session_features(sess, rounding=args.rounding)
+        feats = attach_feature_ts(feats)
+        if args.mode == "asof":
+            probes = spark.read.parquet(args.probes)
+            return asof_join_fast(
+                feats.drop("session_start_ts", "session_end_ts"), probes, strict=True
+            )
+        return feats
+
+    if args.checkpoint:
+        out, resumed = resume_or_compute(
+            spark, args.checkpoint, args.mode, compute,
+            input_fingerprint=f"{args.input}|{args.gap_seconds}|{args.engine}",
+        )
+        print(f"checkpoint {'resumed' if resumed else 'computed'}: {out.count()} rows")
+    else:
+        out = compute()
+
+    if args.format == "csv":
+        w = out
+        if args.mode != "sessionize":
+            # CSV cannot carry timestamps portably for this sink: format them
+            # (reference F5, flow_basic.py:135 strftime analog)
+            from pyspark.sql import functions as F
+
+            for c, t in out.dtypes:
+                if t.startswith("timestamp"):
+                    w = w.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+        w.write.mode("overwrite").option("header", str(args.csv_header).lower()).csv(
+            args.output
+        )
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run(sys.argv[1:]))

@@ -468,3 +468,38 @@ FROM (
   FROM lineitem
 ) t WHERE rn <= 3
 """
+
+
+def whole_table_flow_sql(dialect: str) -> str:
+    """Degenerate 'pcap mode' grouping (reference get_flow_feature.py:35-57 /
+    flow.py:484-522): the whole source is ONE flow; extra distinct-endpoint
+    set (dst_sets -> distinct users) and a formatted start time (F5,
+    flow_basic.py:135 strftime analog)."""
+    if dialect == "spark":
+        fmt = "date_format(min(ts), 'yyyy-MM-dd HH:mm:ss')"
+    else:
+        fmt = "strftime(min(ts), '%Y-%m-%d %H:%M:%S')"
+    ep = _epoch_us(dialect)
+    return f"""
+SELECT 'events' AS source_tag,
+       cast(count(DISTINCT user_id) AS bigint)      AS dst_sets,
+       cast(count(*) AS bigint)                     AS dpnum,
+       {r6(f'(max({ep}) - min({ep}))/1e6 + 0.0001')} AS duration,
+       cast(sum(length(coalesce(props, ''))) AS bigint) AS dpl_total,
+       {fmt}                                        AS start_time_str
+FROM events
+"""
+
+
+def json_field_sql(dialect: str) -> str:
+    """F9: structured-metadata field lookup (reference get_timestamp over TCP
+    options assoc-list, flow_basic.py:78-86) — extract props.k per event."""
+    if dialect == "spark":
+        k = "get_json_object(props, '$.k')"
+    else:
+        k = "json_extract_string(props, '$.k')"
+    return f"""
+SELECT event_id, cast({k} AS bigint) AS k_value,
+       cast(length(coalesce(props, '')) AS bigint) AS props_len
+FROM events
+"""

@@ -41,6 +41,22 @@ def token_count(text: Column) -> Column:
     ).cast("long")
 
 
+def drop_housekeeping(
+    df: DataFrame,
+    roles: tuple[str, ...] = ("system",),
+    min_len: int = 8,
+) -> DataFrame:
+    """Filter out housekeeping turns: system-role rows and near-empty turns.
+
+    Analog of the reference's ``is_handshake_packet`` (flow.py:430-444 — drop
+    SYN/FIN handshakes and bare ACKs < 61 B). Like the reference, which
+    defines the filter but never calls it, this is OFF by default and opt-in
+    via job.py --drop-housekeeping.
+    """
+    bare = (F.col("plen") < min_len) & F.col("flags").isNotNull() & (F.col("flags") == 0)
+    return df.filter(~(F.col("role").isin(*roles) | bare))
+
+
 def normalize_turns(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -23,6 +23,7 @@ def assign_sessions(
     ts_us_col: str = "ts_us",
     tiebreak_col: str = "turn_idx",
     out_col: str = "session_id",
+    reset_tool: str | None = None,
 ) -> DataFrame:
     """Add a 1-based ``session_id`` per conv: gap > threshold => new session.
 
@@ -30,11 +31,22 @@ def assign_sessions(
     threshold boundary). Ordering is (ts, turn_idx) — the stable secondary
     sort the reference gets implicitly from Python's stable list sort
     (flow.py:139).
+
+    ``reset_tool``: a tool name whose turns force-open a new session — the
+    transcript analog of the reference's SYN start_time reset
+    (flow_basic.py:70-72, its only sessionization-flavored logic).
     """
     gap_us = int(round(gap_seconds * 1_000_000))
     w = Window.partitionBy(conv_col).orderBy(ts_us_col, tiebreak_col)
     gap = F.col(ts_us_col) - F.lag(ts_us_col, 1).over(w)
-    is_new = F.when(gap.isNull() | (gap > F.lit(gap_us)), F.lit(1)).otherwise(F.lit(0))
+    new_cond = gap.isNull() | (gap > F.lit(gap_us))
+    if reset_tool is not None:
+        # normalized turns carry the tool as a flag bitmask (prepare.py)
+        from flow_feature_spark.schema import TOOL_FLAG_BITS
+
+        bit = TOOL_FLAG_BITS[reset_tool]
+        new_cond = new_cond | (F.shiftright(F.col("flags"), bit).bitwiseAND(1) == 1)
+    is_new = F.when(new_cond, F.lit(1)).otherwise(F.lit(0))
     cum = Window.partitionBy(conv_col).orderBy(ts_us_col, tiebreak_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
