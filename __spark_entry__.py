@@ -151,6 +151,54 @@ def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_running_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time running vector at turn granularity, attached to probes
+    via the engine's cumulative window + vectorized sort-merge as-of."""
+    from flow_feature_spark.sessionize import assign_sessions as _assign
+    from flow_feature_spark.windows import cumulative_turn_features
+
+    turns = _events_turns(spark, sf_dir)
+    sess = _assign(turns, gap_seconds=OQ.SESSION_GAP_S)
+    run = cumulative_turn_features(sess, value_cols=("plen",))
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    # exact-domain running std matching the oracle formula
+    from pyspark.sql import Window as W2
+
+    cum = (
+        W2.partitionBy("conv_id", "session_id")
+        .orderBy("ts_us", "turn_idx")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    s_ = F.sum("plen").over(cum).cast("double")
+    sq_ = F.sum(F.col("plen") * F.col("plen")).over(cum).cast("double")
+    n_ = F.count(F.lit(1)).over(cum).cast("double")
+    mean_ = s_ / n_
+    std_ = F.sqrt(F.greatest(sq_ / n_ - mean_ * mean_, F.lit(0.0)))
+    rv = run.select(
+        "conv_id",
+        "ts_us",
+        "turn_idx",
+        F.col("run_n_turns").cast("long").alias("run_n_turns"),
+        F.col("run_plen_sum").cast("long").alias("run_plen_sum"),
+        r6(std_).alias("run_plen_std"),
+    )
+    w_tie = W2.partitionBy("conv_id", "ts_us").orderBy(F.desc("turn_idx"))
+    rv = (
+        rv.withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            F.timestamp_micros(F.col("ts_us")).alias("feature_ts"),
+            "run_n_turns", "run_plen_sum", "run_plen_std",
+        )
+    )
+    probes = _probes(spark, sf_dir)
+    out = asof_join_fast(rv, probes, strict=True)
+    return out.select(
+        "entity_id", "probe_ts", "run_n_turns", "run_plen_sum", "run_plen_std"
+    )
+
+
 def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 SQL-strategy build through the engine API (same oracle)."""
     feats = _session_feature_payload(spark, sf_dir)
@@ -242,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features_fast": q_feature_vector_fast,
         "asof_merge": q_asof_merge,
         "asof_fast": q_asof_fast,
+        "asof_running_vector": q_asof_running_vector,
         "asof_union_window_api": q_asof_union_window_api,
         # relational operator coverage
         "tpch_q1": _sql(OQ.tpch_q1_sql),
@@ -278,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "session_features_fast": OQ.feature_vector_sql(d),
         "asof_merge": OQ.asof_sql(d),
         "asof_fast": OQ.asof_sql(d),
+        "asof_running_vector": OQ.asof_running_vector_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),

@@ -138,6 +138,9 @@ def minhash_lsh_candidates(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
     )
+    # the self-join would otherwise recompute the whole shingle->minhash
+    # subtree once per side; the banded table is tiny (docs x bands rows)
+    banded = banded.persist()
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -188,7 +191,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -
     s = simhash_docs(df, text_col)
     lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("h0")
     hi = F.shiftright(F.col("simhash"), 8).alias("h1")
-    keyed = s.select("doc_id", "simhash", lo, hi)
+    # persist: four join branches below would recompute the 16-bit simhash
+    keyed = s.select("doc_id", "simhash", lo, hi).persist()
     pairs = None
     for part in ("h0", "h1"):
         a, b = keyed.alias("a"), keyed.alias("b")

@@ -503,3 +503,58 @@ SELECT event_id, cast({k} AS bigint) AS k_value,
        cast(length(coalesce(props, '')) AS bigint) AS props_len
 FROM events
 """
+
+
+def asof_running_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """J1 x W6: attach the latest PER-TURN running vector (not just the
+    session-final one) to every probe — the north rule's point-in-time
+    guarantee at turn granularity. DuckDB oracle uses native ASOF (strict >);
+    the Spark side runs the engine's cumulative window + vectorized as-of."""
+    cum = ("OVER (PARTITION BY conv_id, session_id ORDER BY ts_us, turn_idx "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    run_std = _std_from_exact(f"sum(plen) {cum}", f"sum(plen*plen) {cum}", f"count(*) {cum}")
+    feats = f"""
+runvec AS (
+  SELECT conv_id, ts_us, turn_idx,
+         cast(count(*) {cum} AS bigint)  AS run_n_turns,
+         cast(sum(plen) {cum} AS bigint) AS run_plen_sum,
+         {r6(run_std)}                   AS run_plen_std
+  FROM sess
+),
+rv AS (
+  -- at equal ts the later turn_idx row is the knowable state
+  SELECT conv_id, ts_us, run_n_turns, run_plen_sum, run_plen_std
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, ts_us
+                                     ORDER BY turn_idx DESC) AS rn FROM runvec)
+  WHERE rn = 1
+)"""
+    if dialect == "duckdb":
+        return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats}, {probes_cte()}
+SELECT p.entity_id, p.probe_ts,
+       f.run_n_turns, f.run_plen_sum, f.run_plen_std
+FROM probes p ASOF LEFT JOIN rv f
+  ON p.entity_id = f.conv_id AND {_epoch_us(dialect, 'p.probe_ts')} > f.ts_us
+"""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats}, {probes_cte()},
+tagged AS (
+  SELECT conv_id AS entity_id, ts_us AS t_us, 1 AS side,
+         named_struct('run_n_turns', run_n_turns, 'run_plen_sum', run_plen_sum,
+                      'run_plen_std', run_plen_std) AS payload,
+         cast(NULL AS timestamp_ntz) AS probe_ts
+  FROM rv
+  UNION ALL
+  SELECT entity_id, {_epoch_us(dialect, 'probe_ts')}, 0, NULL, probe_ts FROM probes
+),
+winp AS (
+  SELECT *, last(payload, true) OVER (PARTITION BY entity_id ORDER BY t_us, side
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attached
+  FROM tagged
+)
+SELECT entity_id, probe_ts,
+       attached.run_n_turns AS run_n_turns,
+       attached.run_plen_sum AS run_plen_sum,
+       attached.run_plen_std AS run_plen_std
+FROM winp WHERE side = 0
+"""
