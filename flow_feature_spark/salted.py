@@ -258,3 +258,31 @@ def salted_session_features(
     return partials.groupBy("conv_id", "session_id").applyInPandas(
         merge, schema=FEATURE_SCHEMA
     )
+
+
+def adaptive_session_features(
+    turns: DataFrame,
+    gap_seconds: float,
+    rounding: str = "half_even",
+    hot_turn_threshold: int = 200_000,
+) -> DataFrame:
+    """Skew-adaptive routing: mega-conversations go through the salted
+    partial-moment path (their turns spread across many tasks), everything
+    else through the fused single-pass kernel. The hot-key set comes from a
+    cheap partial-aggregated count and is broadcast into semi/anti splits.
+    """
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.sessionize import assign_sessions
+
+    counts = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") >= hot_turn_threshold).select("conv_id")
+
+    cold = turns.join(F.broadcast(hot), "conv_id", "left_anti")
+    cold_feats = sessionize_and_extract_fast(cold, gap_seconds, rounding=rounding)
+
+    hot_turns = turns.join(F.broadcast(hot), "conv_id", "left_semi")
+    hot_sess = assign_sessions(hot_turns, gap_seconds=gap_seconds)
+    hot_feats = salted_session_features(hot_sess, rounding=rounding)
+    return cold_feats.unionByName(hot_feats)

@@ -45,3 +45,24 @@ def test_salted_matches_exact_kernel(spark, sess, bucket_turns):
                 ]
             ),
         )
+
+
+def test_adaptive_routing_matches_fused(spark, sess):
+    """Adaptive split (hot -> salted, cold -> fused) must reproduce the plain
+    fused pipeline allclose, with the hot conv actually routed."""
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.prepare import normalize_turns
+    from flow_feature_spark.salted import adaptive_session_features
+    from flow_feature_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_convs=30, turns_mean=20, hot_factor=60)
+    turns = normalize_turns(tr).cache()
+    base = _collect(sessionize_and_extract_fast(turns, 1800.0, rounding="half_even"))
+    # threshold below the hot conv's turn count so it takes the salted path
+    adaptive = _collect(
+        adaptive_session_features(turns, 1800.0, rounding="half_even",
+                                  hot_turn_threshold=500)
+    )
+    assert set(base) == set(adaptive)
+    for k in base:
+        np.testing.assert_allclose(adaptive[k], base[k], rtol=1e-6, atol=1.2e-6)
