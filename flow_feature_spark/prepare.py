@@ -41,6 +41,16 @@ def token_count(text: Column) -> Column:
     ).cast("long")
 
 
+def filter_valid_turns(df: DataFrame, ts_col: str = "ts", conv_col: str = "conv_id") -> DataFrame:
+    """Keep only well-formed turns: non-null key and timestamp.
+
+    The transcript analog of the reference's ``is_TCP_packet`` admission
+    filter (flow.py:413-428: drop packets without IP/TCP layers before
+    grouping) — malformed rows never reach the key pipeline.
+    """
+    return df.filter(F.col(conv_col).isNotNull() & F.col(ts_col).isNotNull())
+
+
 def drop_housekeeping(
     df: DataFrame,
     roles: tuple[str, ...] = ("system",),
