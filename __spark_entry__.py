@@ -39,7 +39,17 @@ TABLES = [
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin runtime session conf the results depend on: the driver may hand us
+    a session with a non-UTC timezone, and NTZ->epoch casts plus pandas
+    timestamp conversions must agree with DuckDB's naive-UTC semantics."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    _prep(spark)
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
@@ -58,7 +68,7 @@ def _sql(builder) -> Callable[[SparkSession, str], DataFrame]:
 
 def _events_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> kernel input columns (FIXTURES.md §4 mapping), exact µs."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
@@ -151,6 +161,28 @@ def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 through the engine API: replayed turns collapse via dedup_turns."""
+    from flow_feature_spark.sessionize import dedup_turns
+
+    turns = _events_turns(spark, sf_dir)
+    replayed = turns.unionByName(turns.filter(F.col("turn_idx") % 5 == 0))
+    out = dedup_turns(replayed, ts_col="ts_us")
+    return out.select("conv_id", "turn_idx", "ts_us", "plen")
+
+
+def q_session_features_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted partial-moment path registered for the driver (rows-only check:
+    its float moment merges are allclose- but not bit-equal to the oracle;
+    exactness vs the exact kernel is pinned in tests/test_salted.py)."""
+    from flow_feature_spark.salted import salted_session_features
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    feats = salted_session_features(sess, bucket_turns=16, rounding="r6")
+    return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
+
+
 def q_asof_running_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time running vector at turn granularity, attached to probes
     via the engine's cumulative window + vectorized sort-merge as-of."""
@@ -215,11 +247,11 @@ def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def q_text_analysis(spark, sf_dir):
@@ -288,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-API implementations against independent oracles
         "session_features_kernel": q_feature_vector_kernel,
         "session_features_fast": q_feature_vector_fast,
+        "session_features_salted": q_session_features_salted,
+        "dedup_turns": q_dedup_turns,
         "asof_merge": q_asof_merge,
         "asof_fast": q_asof_fast,
         "asof_running_vector": q_asof_running_vector,
@@ -325,6 +359,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_union_window_sql": OQ.asof_sql(d),
         "session_features_kernel": OQ.feature_vector_sql(d),
         "session_features_fast": OQ.feature_vector_sql(d),
+        "dedup_turns": OQ.dedup_turns_sql(d),
+        # session_features_salted: rows-only (float moment merge, see tests)
         "asof_merge": OQ.asof_sql(d),
         "asof_fast": OQ.asof_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),

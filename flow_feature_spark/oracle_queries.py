@@ -558,3 +558,26 @@ SELECT entity_id, probe_ts,
        attached.run_plen_std AS run_plen_std
 FROM winp WHERE side = 0
 """
+
+
+def dedup_turns_sql(dialect: str) -> str:
+    """W5 oracle: idempotent replay collapse. The input is the turns table
+    unioned with a deterministic replayed subset (every 5th turn, as a
+    restart would re-ingest); dedup keeps one row per (conv_id, turn_idx),
+    earliest ts first."""
+    return f"""
+WITH {turns_cte(dialect)},
+replayed AS (
+  SELECT * FROM turns
+  UNION ALL
+  SELECT * FROM turns WHERE turn_idx % 5 = 0
+),
+ranked AS (
+  SELECT conv_id, turn_idx, ts_us, plen,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts_us, plen) AS rn
+  FROM replayed
+)
+SELECT conv_id, turn_idx, ts_us, plen
+FROM ranked WHERE rn = 1
+"""
