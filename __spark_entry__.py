@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": _sql(OQ.distinct_count_sql),
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
+        "whole_table_features": _sql(OQ.whole_table_features_sql),
         "json_field": _sql(OQ.json_field_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count": OQ.distinct_count_sql(d),
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),
+        "whole_table_features": OQ.whole_table_features_sql(d),
         "json_field": OQ.json_field_sql(d),
         "text_analysis": OD.text_analysis_sql(d),
         "dedup_exact": OD.dedup_exact_sql(d),

@@ -581,3 +581,39 @@ ranked AS (
 SELECT conv_id, turn_idx, ts_us, plen
 FROM ranked WHERE rn = 1
 """
+
+
+def whole_turns_cte(dialect: str) -> str:
+    """Degenerate pcap-mode turns: the WHOLE events table as one flow
+    (reference get_pcap_feature_from_pcap, flow.py:484-522) — conv_id is a
+    constant, turn ordering is global."""
+    return f"""
+turns AS (
+  SELECT 'ALL'                                                     AS conv_id,
+         cast(row_number() OVER (ORDER BY ts, event_id) AS int)    AS turn_idx,
+         event_type                                                AS role,
+         props                                                     AS text,
+         ts,
+         {_epoch_us(dialect)}                                      AS ts_us,
+         (event_type = 'purchase')                                 AS is_fwd,
+         cast(length(coalesce(props, '')) AS bigint)               AS plen,
+         cast(floor(value) AS bigint)                              AS win,
+         cast(cast(floor(value) AS bigint) % 256 AS int)           AS flags,
+         cast(length(event_type) AS bigint)                        AS ihl
+  FROM events
+)"""
+
+
+def whole_table_features_sql(dialect: str) -> str:
+    """pcap-mode full 72-vector: one row for the whole table, plus the
+    distinct-endpoint count (dst_sets analog). Same exact-domain machinery as
+    feature_vector_sql; a gap larger than any dataset keeps one session."""
+    huge_gap = 10**15  # µs — no session splits
+    base = feature_vector_sql(dialect, gap_us=huge_gap)
+    # swap the per-conv turns CTE for the whole-table one and attach dst_sets
+    base = base.replace(turns_cte(dialect), whole_turns_cte(dialect), 1)
+    return f"""
+WITH flow AS ({base}),
+dst AS (SELECT cast(count(DISTINCT user_id) AS bigint) AS dst_sets FROM events)
+SELECT dst.dst_sets, flow.* FROM flow CROSS JOIN dst
+"""
