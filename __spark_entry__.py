@@ -179,7 +179,8 @@ def q_session_features_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     turns = _events_turns(spark, sf_dir)
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
-    feats = salted_session_features(sess, bucket_turns=16, rounding="r6")
+    feats = salted_session_features(sess, rounding="r6")  # default buckets;
+    # tiny-bucket boundary stitching is stress-covered in tests/test_salted.py
     return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
 
 

@@ -246,18 +246,24 @@ def salted_session_features(
     )
     partials = t.groupBy("conv_id", "session_id", "bucket").agg(*_partial_aggs())
 
-    def merge(keys, pdf: pd.DataFrame) -> pd.DataFrame:
-        row = _merge_session(pdf, rounding)
-        if row is None:
-            return pd.DataFrame(columns=[f.name for f in FEATURE_SCHEMA.fields])
-        row["conv_id"] = keys[0]
-        row["session_id"] = int(keys[1])
-        cols = ["conv_id", "session_id", "session_start_ts", "session_end_ts", "n_turns"]
-        return pd.DataFrame([{c: row[c] for c in cols + FEATURE_NAMES}])
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
-    return partials.groupBy("conv_id", "session_id").applyInPandas(
-        merge, schema=FEATURE_SCHEMA
-    )
+    def merge_conv(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per conv (not per session): wide-frame per-call
+        # overhead amortizes over all of the conv's sessions
+        rows: list[dict] = []
+        for sid, grp in pdf.groupby("session_id", sort=False):
+            row = _merge_session(grp, rounding)
+            if row is None:
+                continue
+            row["conv_id"] = keys[0]
+            row["session_id"] = int(sid)
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame(columns=out_cols)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return partials.groupBy("conv_id").applyInPandas(merge_conv, schema=FEATURE_SCHEMA)
 
 
 def adaptive_session_features(
