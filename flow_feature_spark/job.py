@@ -54,7 +54,7 @@ def run(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from flow_feature_spark.asof import asof_join_fast
-    from flow_feature_spark.io import resume_or_compute, write_checkpoint
+    from flow_feature_spark.io import resume_or_compute
     from flow_feature_spark.kernel import attach_feature_ts, extract_session_features
     from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
     from flow_feature_spark.features import session_features_expr

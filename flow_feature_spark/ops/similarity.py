@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flow_feature_spark.ops.dedup import md5_int
-
 N_HYPERPLANES = 8
 
 
