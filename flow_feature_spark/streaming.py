@@ -59,6 +59,104 @@ def stream_session_counts(
     )
 
 
+def stateful_session_features(
+    stream_turns: DataFrame,
+    gap_seconds: float = 1800.0,
+    rounding: str = "half_even",
+):
+    """Streaming FULL 72-vector per closed session via applyInPandasWithState.
+
+    Input: a streaming DataFrame of normalized turns (conv_id, turn_idx,
+    ts_us, is_fwd, plen, win, flags, ihl — prepare.normalize_turns works on
+    streaming frames too). Per conv, the open session's turns are buffered in
+    group state; whenever the gap threshold splits the buffer, every CLOSED
+    session is emitted through the same batch kernel the batch engine uses
+    (kernel_fast.batch_feature_frame), so streaming and batch vectors are
+    computed by literally the same code. The trailing open session stays in
+    state and is flushed when the event-time watermark passes its gap window
+    (timeout), or never in NoTimeout demo mode.
+
+    Out of parity scope (the reference is batch-only) — this is the W7
+    upgrade path made concrete; semantics pinned against the batch engine in
+    tests/test_streaming.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flow_feature_spark.kernel_fast import batch_feature_frame
+    from flow_feature_spark.schema import FEATURE_SCHEMA
+
+    gap_us = int(round(gap_seconds * 1_000_000))
+
+    state_schema = T.StructType([
+        T.StructField("sid", T.LongType()),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("turn_idx", T.ArrayType(T.IntegerType())),
+        T.StructField("is_fwd", T.ArrayType(T.BooleanType())),
+        T.StructField("plen", T.ArrayType(T.LongType())),
+        T.StructField("win", T.ArrayType(T.LongType())),
+        T.StructField("flags", T.ArrayType(T.IntegerType())),
+        T.StructField("ihl", T.ArrayType(T.LongType())),
+    ])
+    COLS = ["ts_us", "turn_idx", "is_fwd", "plen", "win", "flags", "ihl"]
+
+    def fn(key, pdf_iter, state: GroupState):
+        conv = key[0]
+        if state.exists:
+            sid, *buf_cols = state.get
+            buf = pd.DataFrame({c: list(v) for c, v in zip(COLS, buf_cols)})
+        else:
+            sid, buf = 1, pd.DataFrame(columns=COLS)
+
+        batch = pd.concat([b[COLS] for b in pdf_iter], ignore_index=True)
+        allrows = (
+            pd.concat([buf, batch], ignore_index=True)
+            .sort_values(["ts_us", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts = allrows["ts_us"].to_numpy(np.int64)
+        # split points where the gap exceeds the threshold
+        splits = (np.flatnonzero(np.diff(ts) > gap_us) + 1).tolist()
+        segments = np.split(np.arange(len(allrows)), splits)
+        closed, open_seg = segments[:-1], segments[-1]
+        for seg in closed:
+            part = allrows.iloc[seg].assign(conv_id=conv, session_id=sid)
+            sid += 1
+            out = batch_feature_frame(part, rounding)
+            if len(out):
+                yield out
+        tail = allrows.iloc[open_seg]
+        if state.hasTimedOut:
+            out = batch_feature_frame(
+                tail.assign(conv_id=conv, session_id=sid), rounding
+            )
+            state.remove()
+            if len(out):
+                yield out
+        else:
+            state.update((
+                sid,
+                tail["ts_us"].astype("int64").tolist(),
+                tail["turn_idx"].astype("int32").tolist(),
+                tail["is_fwd"].astype(bool).tolist(),
+                tail["plen"].astype("int64").tolist(),
+                tail["win"].astype("int64").tolist(),
+                tail["flags"].astype("int32").tolist(),
+                tail["ihl"].astype("int64").tolist(),
+            ))
+
+    return stream_turns.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=FEATURE_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FULL_VECTOR_STATEFUL_SKETCH = """
 def stateful_features(key, pdf_iter, state):  # applyInPandasWithState
     # state value: (ts_us[], is_fwd[], plen[], win[], flags[], ihl[]) arrays

@@ -68,3 +68,58 @@ def test_stream_session_counts_matches_batch(spark):
     tot_stream = sum(v[0] for v in got_rows.values())
     tot_batch = sum(v[0] for v in batch_rows.values())
     assert tot_stream <= tot_batch
+
+
+def test_stateful_full_vector_matches_batch(spark):
+    """Streaming applyInPandasWithState 72-vectors: closed sessions must be
+    bit-identical (r6) to the batch fused kernel on the same data."""
+    import numpy as np
+
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.schema import FEATURE_NAMES
+    from flow_feature_spark.streaming import stateful_session_features
+
+    tr = synth_transcripts(spark, n_convs=15, turns_mean=12, hot_factor=4)
+    turns = normalize_turns(tr).select(
+        "conv_id", "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
+    )
+    path = tempfile.mkdtemp(prefix="ffs_state_") + "/in"
+    turns.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        stateful_session_features(stream, gap_seconds=1800.0, rounding="r6")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    batch = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in sessionize_and_extract_fast(
+            spark.read.parquet(path), 1800.0, rounding="r6"
+        ).collect()
+    }
+    # append + NoTimeout: only CLOSED sessions are emitted — every emitted
+    # vector must be bit-identical to the batch vector of the same session
+    assert len(got) > 0
+    for k, v in got.items():
+        assert k in batch, k
+        assert v == batch[k], (k, [
+            (n, a, b) for n, a, b in zip(FEATURE_NAMES, v, batch[k]) if a != b
+        ])
+    # the only batch sessions missing from the stream are each conv's last
+    # (still open in state)
+    missing = set(batch) - set(got)
+    per_conv_last = {}
+    for conv, sid in batch:
+        per_conv_last[conv] = max(per_conv_last.get(conv, 0), sid)
+    assert all(sid == per_conv_last[conv] for conv, sid in missing)
