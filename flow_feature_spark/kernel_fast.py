@@ -256,6 +256,7 @@ def sessionize_and_extract_fast(
     conv_col: str = "conv_id",
     num_partitions: int | None = None,
     metrics=None,
+    partition_mode: str = "hash",
 ) -> DataFrame:
     """Fused sessionize + feature extraction: ONE shuffle total.
 
@@ -271,11 +272,22 @@ def sessionize_and_extract_fast(
     proj = df.select(
         conv_col, "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
     )
-    part = (
-        proj.repartition(num_partitions, conv_col)
-        if num_partitions
-        else proj.repartition(conv_col)
-    )
+    if partition_mode == "range":
+        # range partitioning on conv_id ONLY: equal keys land in one
+        # partition (group contiguity preserved); adding ts to the range key
+        # would split conversations across partitions. Range keeps output
+        # files clustered by conv for downstream scan locality.
+        part = (
+            proj.repartitionByRange(num_partitions, conv_col)
+            if num_partitions
+            else proj.repartitionByRange(conv_col)
+        )
+    else:
+        part = (
+            proj.repartition(num_partitions, conv_col)
+            if num_partitions
+            else proj.repartition(conv_col)
+        )
     sorted_df = part.sortWithinPartitions(conv_col, "ts_us", "turn_idx")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -103,3 +103,17 @@ def test_small_arrow_batches_preserve_groups(spark, sess):
         assert fast == exact
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_range_partition_mode_bit_equal(spark, sess):
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.prepare import normalize_turns
+    from flow_feature_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_convs=25, turns_mean=15, hot_factor=10)
+    turns = normalize_turns(tr).cache()
+    h = _collect(sessionize_and_extract_fast(turns, 1800.0, rounding="r6"))
+    rg = _collect(
+        sessionize_and_extract_fast(turns, 1800.0, rounding="r6", partition_mode="range")
+    )
+    assert h == rg
