@@ -172,15 +172,15 @@ def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_session_features_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted partial-moment path registered for the driver (rows-only check:
-    its float moment merges are allclose- but not bit-equal to the oracle;
-    exactness vs the exact kernel is pinned in tests/test_salted.py)."""
+    """Salted partial-moment path: exact integer/decimal bucket moments merged
+    with the kernel's float-op sequence -> bit-identical to the unsalted
+    kernel, so it shares feature_vector_sql's oracle (bucket_turns=512 forces
+    real boundary stitching at sf0.01 group sizes)."""
     from flow_feature_spark.salted import salted_session_features
 
     turns = _events_turns(spark, sf_dir)
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
-    feats = salted_session_features(sess, rounding="r6")  # default buckets;
-    # tiny-bucket boundary stitching is stress-covered in tests/test_salted.py
+    feats = salted_session_features(sess, bucket_turns=512, rounding="r6")
     return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
 
 
@@ -362,7 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "session_features_kernel": OQ.feature_vector_sql(d),
         "session_features_fast": OQ.feature_vector_sql(d),
         "dedup_turns": OQ.dedup_turns_sql(d),
-        # session_features_salted: rows-only (float moment merge, see tests)
+        "session_features_salted": OQ.feature_vector_sql(d),
         "asof_merge": OQ.asof_sql(d),
         "asof_fast": OQ.asof_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),

@@ -405,8 +405,11 @@ FROM winp WHERE side = 0
 def tpch_q1_sql(dialect: str) -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2))      AS sum_qty,
-       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_base_price,
+       -- exact decimal accumulation, then ONE double conversion + r6 so the
+       -- driver's value hash sees an identical representation in both engines
+       -- (raw decimal output hash-mismatched on rendering in round 1)
+       {r6('cast(sum(cast(l_quantity AS decimal(18,2))) AS double)')}      AS sum_qty,
+       {r6('cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double)')} AS sum_base_price,
        {r6('cast(sum(cast(l_quantity AS decimal(18,2))) AS double)/count(*)')} AS avg_qty,
        {r6('cast(sum(cast(l_discount AS decimal(18,2))) AS double)/count(*)')} AS avg_disc,
        cast(count(*) AS bigint) AS count_order
@@ -421,7 +424,7 @@ def broadcast_join_sql(dialect: str) -> str:
     return f"""
 SELECT n.n_name, c.c_mktsegment,
        cast(count(*) AS bigint) AS order_cnt,
-       cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS revenue
+       {r6('cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double)')} AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey

@@ -2,9 +2,9 @@
 
 A mega-conversation (one conv_id with ~100x the median turns) makes any
 groupBy-conv plan straggle: one task owns the whole group. This module splits
-each session into contiguous TURN-RANGE buckets, computes partial moments per
-(conv, session, bucket) — embarrassingly parallel across buckets — and merges
-the small per-session bucket lists exactly (SURVEY.md §4.1):
+each session into contiguous TURN-RANGE buckets, computes exact partial
+moments per (conv, session, bucket) — embarrassingly parallel across buckets —
+and merges the small per-session bucket lists exactly (SURVEY.md §4.1):
 
 * count / sum / sumsq / min / max merge additively for win/plen/flags/hdr;
 * inter-turn-gap stats merge additively PLUS the stitched boundary gaps: each
@@ -13,16 +13,32 @@ the small per-session bucket lists exactly (SURVEY.md §4.1):
   skipping buckets empty in that direction — so the merged gap population is
   exactly the unsalted one.
 
-Variance uses the one-pass raw-moment form (sumsq/n - mean^2) on the merged
-moments — allclose (<= one rounding quantum) to the centered exact kernel;
-asserted in tests on hot-key data.
+Skew-safety (the whole point): NO window is partitioned by the raw session
+key. ``bucket`` is pure ``turn_idx`` arithmetic (no row_number pre-pass), and
+the within-bucket gap lags run over (conv, session, bucket[, direction])
+windows whose partitions are bounded at ``bucket_turns`` rows — a 10^7-turn
+conversation spreads over 10^7/bucket_turns tasks instead of funnelling
+through one.
+
+Precondition (holds for the transcript contract and the reference's packet
+captures alike): within a conversation, ``turn_idx`` order refines the
+(ts, turn_idx) sort order — i.e. ts is non-decreasing in turn_idx. turn_idx
+IS the turn ordinal, so contiguous turn_idx ranges are contiguous time ranges
+and boundary stitching reconstructs the exact gap population.
+
+Exactness: every partial moment is accumulated in an exact domain (bigint µs
+sums, DECIMAL(38,0) for summed squared-µs gaps, bigint for length/budget
+sums/sumsq), merged as Python ints, and converted to double with the SAME
+operation sequence as ``kernel._exact_stats4`` — using the identity
+``sum((x*n - s)^2) == n*(n*sum(x^2) - s^2)`` over exact integers — so the
+salted output is BIT-IDENTICAL to the unsalted kernel (asserted in
+tests/test_salted.py) and shares its DuckDB oracle.
 """
 
 from __future__ import annotations
 
 import math
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -37,89 +53,121 @@ from flow_feature_spark.schema import (
 
 DEFAULT_BUCKET_TURNS = 8192
 
+# At 10^12 scale the router should only divert conversations that materially
+# exceed a partition's share (BENCH/SCALE_SMOKE.md: routing LOSES when the hot
+# partition is merely ~2.5x average) — default to "several times the target
+# partition row count", not a small constant.
+DEFAULT_HOT_TURN_THRESHOLD = 2_000_000
+
+
+def _zero_bigint(col: F.Column) -> F.Column:
+    return F.coalesce(col, F.lit(0)).cast("long")
+
 
 def _partial_aggs() -> list:
-    """Column expressions for per-bucket partial moments."""
+    """Exact-domain per-bucket partial moments.
+
+    All sums are bigint (lengths, budgets, µs gaps — bounded well below 2^63
+    per bucket) except the squared-µs-gap sums, which exceed int64 and go
+    through DECIMAL(19,0)*DECIMAL(19,0) -> DECIMAL(38,0) accumulation.
+    Everything is coalesced to 0 so the merge-side pandas frame keeps clean
+    int64/decimal dtypes (a single NULL would flip the column to float64 and
+    break >2^53 exactness).
+    """
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min("ts_us").alias("min_us"),
         F.max("ts_us").alias("max_us"),
     ]
     fwd = F.col("is_fwd")
+    dec0 = F.lit(0).cast("decimal(38,0)")
     for dirn, mask in (("f", fwd), ("b", ~fwd), ("d", F.lit(True))):
         m = lambda c: F.when(mask, c)  # noqa: E731
         aggs += [
             F.count(m(F.lit(1))).alias(f"{dirn}_n"),
-            F.min(m(F.col("ts_us"))).alias(f"{dirn}_first_us"),
-            F.max(m(F.col("ts_us"))).alias(f"{dirn}_last_us"),
+            _zero_bigint(F.min(m(F.col("ts_us")))).alias(f"{dirn}_first_us"),
+            _zero_bigint(F.max(m(F.col("ts_us")))).alias(f"{dirn}_last_us"),
         ]
         for col in ("win", "plen"):
-            x = m(F.col(col)).cast("double")
+            x = m(F.col(col)).cast("long")
             aggs += [
-                F.sum(x).alias(f"{dirn}_{col}_sum"),
-                F.sum(x * x).alias(f"{dirn}_{col}_sumsq"),
-                F.min(m(F.col(col))).alias(f"{dirn}_{col}_min"),
-                F.max(m(F.col(col))).alias(f"{dirn}_{col}_max"),
+                _zero_bigint(F.sum(x)).alias(f"{dirn}_{col}_sum"),
+                _zero_bigint(F.sum(x * x)).alias(f"{dirn}_{col}_sumsq"),
+                _zero_bigint(F.min(x)).alias(f"{dirn}_{col}_min"),
+                _zero_bigint(F.max(x)).alias(f"{dirn}_{col}_max"),
             ]
-        # within-bucket, per-direction gap moments (computed pre-agg, see below)
-        g = m(F.col(f"gap_{dirn}")).cast("double")
+        # within-bucket, per-direction µs gaps (bucket-scoped lag, see below)
+        g = m(F.col(f"gap_{dirn}")).cast("long")
+        gd = m(F.col(f"gap_{dirn}")).cast("decimal(19,0)")
         aggs += [
             F.count(g).alias(f"{dirn}_gap_n"),
-            F.sum(g).alias(f"{dirn}_gap_sum"),
-            F.sum(g * g).alias(f"{dirn}_gap_sumsq"),
-            F.min(g).alias(f"{dirn}_gap_min"),
-            F.max(g).alias(f"{dirn}_gap_max"),
+            _zero_bigint(F.sum(g)).alias(f"{dirn}_gap_sum"),
+            F.coalesce(F.sum(gd * gd), dec0).alias(f"{dirn}_gap_sumsq"),
+            _zero_bigint(F.min(g)).alias(f"{dirn}_gap_min"),
+            _zero_bigint(F.max(g)).alias(f"{dirn}_gap_max"),
         ]
         aggs.append(
-            F.sum(m(F.lit(14) + 4 * F.col("ihl") + F.lit(20))).alias(f"{dirn}_hdr")
+            _zero_bigint(
+                F.sum(m(F.lit(14) + 4 * F.col("ihl") + F.lit(20)))
+            ).alias(f"{dirn}_hdr")
         )
     for i in range(8):
         bit = F.shiftright(F.col("flags"), i).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit).alias(f"flag{i}"))
+        aggs.append(_zero_bigint(F.sum(bit)).alias(f"flag{i}"))
         if i in (3, 5):
-            aggs.append(F.sum(F.when(fwd, bit)).alias(f"fwd_flag{i}"))
-            aggs.append(F.sum(F.when(~fwd, bit)).alias(f"bwd_flag{i}"))
+            aggs.append(_zero_bigint(F.sum(F.when(fwd, bit))).alias(f"fwd_flag{i}"))
+            aggs.append(_zero_bigint(F.sum(F.when(~fwd, bit))).alias(f"bwd_flag{i}"))
     return aggs
 
 
 class _M:
-    """Running merged moments for one statistic family."""
+    """Running merged moments for one statistic family — exact Python ints."""
 
     __slots__ = ("n", "s", "sq", "mn", "mx")
 
     def __init__(self):
         self.n = 0
-        self.s = 0.0
-        self.sq = 0.0
-        self.mn = math.inf
-        self.mx = -math.inf
+        self.s = 0
+        self.sq = 0
+        self.mn = None
+        self.mx = None
 
     def add_moments(self, n, s, sq, mn, mx):
         if not n:
             return
         self.n += int(n)
-        self.s += float(s)
-        self.sq += float(sq)
-        self.mn = min(self.mn, float(mn))
-        self.mx = max(self.mx, float(mx))
+        self.s += int(s)
+        self.sq += int(sq)
+        mn, mx = int(mn), int(mx)
+        self.mn = mn if self.mn is None else min(self.mn, mn)
+        self.mx = mx if self.mx is None else max(self.mx, mx)
 
-    def add_value(self, v: float):
+    def add_value(self, v: int):
+        v = int(v)
         self.add_moments(1, v, v * v, v, v)
 
-    def stats(self, r, scale: float = 1.0):
+    def stats(self, r, scale: float = 1.0, centered: bool = False):
+        """[mean, min, max, std_pop] with kernel._exact_stats4's exact float
+        sequence: centered uses S = n*(n*sumsq - s^2) == sum((x*n - s)^2)."""
         if self.n == 0:
             return [0.0, 0.0, 0.0, 0.0]
-        mean = self.s / self.n
-        var = max(self.sq / self.n - mean * mean, 0.0)
+        n, s = self.n, self.s
+        mean_raw = float(s) / n
+        if centered:
+            S = n * (n * self.sq - s * s)
+            std = math.sqrt(float(S) / n / n / n) / scale
+        else:
+            var = max(float(self.sq) / n - mean_raw * mean_raw, 0.0)
+            std = math.sqrt(var) / scale
         return [
-            r(mean / scale),
-            r(self.mn / scale),
-            r(self.mx / scale),
-            r(math.sqrt(var) / scale),
+            r(mean_raw / scale),
+            r(float(self.mn) / scale),
+            r(float(self.mx) / scale),
+            r(std),
         ]
 
     def sum_r(self, r):
-        return r(self.s) if self.n else 0.0
+        return r(float(self.s)) if self.n else 0.0
 
 
 def _merge_session(buckets: pd.DataFrame, rounding: str) -> dict | None:
@@ -135,7 +183,7 @@ def _merge_session(buckets: pd.DataFrame, rounding: str) -> dict | None:
     lens = {(d, c): _M() for d in "fbd" for c in ("win", "plen")}
     last_us = {d: None for d in "fbd"}
     dir_n = {d: 0 for d in "fbd"}
-    hdr = {d: 0.0 for d in "fbd"}
+    hdr = {d: 0 for d in "fbd"}
 
     for row in b.itertuples(index=False):
         for d in "fbd":
@@ -144,34 +192,38 @@ def _merge_session(buckets: pd.DataFrame, rounding: str) -> dict | None:
                 continue
             dir_n[d] += int(dn)
             # stitched boundary gap into this bucket's first same-direction turn
-            first_us = getattr(row, f"{d}_first_us")
+            first_us = int(getattr(row, f"{d}_first_us"))
             if last_us[d] is not None:
-                gaps[d].add_value((first_us - last_us[d]) / 1e6)
-            last_us[d] = getattr(row, f"{d}_last_us")
-            gaps[d].add_moments(
-                getattr(row, f"{d}_gap_n") or 0,
-                getattr(row, f"{d}_gap_sum") or 0.0,
-                getattr(row, f"{d}_gap_sumsq") or 0.0,
-                getattr(row, f"{d}_gap_min") if getattr(row, f"{d}_gap_n") else math.inf,
-                getattr(row, f"{d}_gap_max") if getattr(row, f"{d}_gap_n") else -math.inf,
-            )
+                gaps[d].add_value(first_us - last_us[d])
+            last_us[d] = int(getattr(row, f"{d}_last_us"))
+            gn = int(getattr(row, f"{d}_gap_n"))
+            if gn:
+                gaps[d].add_moments(
+                    gn,
+                    getattr(row, f"{d}_gap_sum"),
+                    getattr(row, f"{d}_gap_sumsq"),  # Decimal -> int in _M
+                    getattr(row, f"{d}_gap_min"),
+                    getattr(row, f"{d}_gap_max"),
+                )
             for c in ("win", "plen"):
                 lens[(d, c)].add_moments(
                     dn,
-                    getattr(row, f"{d}_{c}_sum") or 0.0,
-                    getattr(row, f"{d}_{c}_sumsq") or 0.0,
+                    getattr(row, f"{d}_{c}_sum"),
+                    getattr(row, f"{d}_{c}_sumsq"),
                     getattr(row, f"{d}_{c}_min"),
                     getattr(row, f"{d}_{c}_max"),
                 )
-            h = getattr(row, f"{d}_hdr")
-            hdr[d] += float(h) if h is not None else 0.0
+            hdr[d] += int(getattr(row, f"{d}_hdr"))
 
     for d, prefix in (("f", "fiat"), ("b", "biat"), ("d", "diat")):
-        # gap moments are already in seconds (bucketed gaps and stitched
-        # boundary gaps are both /1e6 before accumulation)
-        for name, v in zip(("mean", "min", "max", "std"), gaps[d].stats(r)):
+        # gap moments are exact integer µs; scale=1e6 converts at the end,
+        # centered=True matches kernel._iat_stats bit-for-bit
+        for name, v in zip(("mean", "min", "max", "std"),
+                           gaps[d].stats(r, scale=1e6, centered=True)):
             out[f"{prefix}_{name}"] = v
-    duration = r((float(b["max_us"].max()) - float(b["min_us"].min())) / 1e6 + DURATION_EPSILON)
+    gmin = int(b["min_us"].min())
+    gmax = int(b["max_us"].max())
+    duration = r(float(gmax - gmin) / 1e6 + DURATION_EPSILON)
     out["duration"] = duration
     for d, fam in (("f", "fwin"), ("b", "bwin"), ("d", "dwin")):
         m = lens[(d, "win")]
@@ -196,20 +248,20 @@ def _merge_session(buckets: pd.DataFrame, rounding: str) -> dict | None:
     flag_names = ["fin_cnt", "syn_cnt", "rst_cnt", "pst_cnt",
                   "ack_cnt", "urg_cnt", "cwe_cnt", "ece_cnt"]
     for i, name in enumerate(flag_names):
-        out[name] = float(b[f"flag{i}"].fillna(0).sum())
-    out["fwd_pst_cnt"] = float(b["fwd_flag3"].fillna(0).sum()) if fp else -1.0
-    out["fwd_urg_cnt"] = float(b["fwd_flag5"].fillna(0).sum()) if fp else -1.0
-    out["bwd_pst_cnt"] = float(b["bwd_flag3"].fillna(0).sum()) if bp else -1.0
-    out["bwd_urg_cnt"] = float(b["bwd_flag5"].fillna(0).sum()) if bp else -1.0
-    out["fp_hdr_len"] = hdr["f"]
-    out["bp_hdr_len"] = hdr["b"]
-    out["dp_hdr_len"] = hdr["f"] + hdr["b"]
-    out["f_ht_len"] = r(hdr["f"] / max(out["fpl_total"], 1))
-    out["b_ht_len"] = r(hdr["b"] / max(out["bpl_total"], 1))
+        out[name] = float(int(b[f"flag{i}"].sum()))
+    out["fwd_pst_cnt"] = float(int(b["fwd_flag3"].sum())) if fp else -1.0
+    out["fwd_urg_cnt"] = float(int(b["fwd_flag5"].sum())) if fp else -1.0
+    out["bwd_pst_cnt"] = float(int(b["bwd_flag3"].sum())) if bp else -1.0
+    out["bwd_urg_cnt"] = float(int(b["bwd_flag5"].sum())) if bp else -1.0
+    out["fp_hdr_len"] = float(hdr["f"])
+    out["bp_hdr_len"] = float(hdr["b"])
+    out["dp_hdr_len"] = float(hdr["f"]) + float(hdr["b"])
+    out["f_ht_len"] = r(out["fp_hdr_len"] / max(out["fpl_total"], 1))
+    out["b_ht_len"] = r(out["bp_hdr_len"] / max(out["bpl_total"], 1))
     out["d_ht_len"] = r(out["dp_hdr_len"] / max(out["dpl_total"], 1))
 
-    out["session_start_ts"] = float(b["min_us"].min()) / 1e6
-    out["session_end_ts"] = float(b["max_us"].max()) / 1e6
+    out["session_start_ts"] = float(gmin / 1e6)
+    out["session_end_ts"] = float(gmax / 1e6)
     out["n_turns"] = n
     return out
 
@@ -219,30 +271,31 @@ def salted_session_features(
     bucket_turns: int = DEFAULT_BUCKET_TURNS,
     rounding: str = "half_even",
 ) -> DataFrame:
-    """Skew-proof feature extraction: partial moments per turn-range bucket
-    (hash-parallel — a hot conv spreads over many tasks), exact merge per
-    session (each merge input is ~n_turns/bucket_turns tiny rows).
+    """Skew-proof feature extraction: exact partial moments per turn-range
+    bucket (hash-parallel — a hot conv spreads over many tasks), exact merge
+    per session (each merge input is ~n_turns/bucket_turns tiny rows).
 
-    The within-bucket gap columns reuse the per-direction lag over the
-    session-scoped window; the bucket boundary gaps are stitched at merge.
+    ``bucket`` is pure turn_idx arithmetic — no pre-pass window over the raw
+    session key anywhere in the plan. The within-bucket gap lags run over
+    bucket-scoped windows whose partitions are capped at ``bucket_turns``
+    rows; cross-bucket boundary gaps are stitched exactly at merge time.
     """
-    w_all = Window.partitionBy("conv_id", "session_id").orderBy("ts_us", "turn_idx")
-    w_dir = Window.partitionBy("conv_id", "session_id", "is_fwd").orderBy("ts_us", "turn_idx")
-    t = (
-        sess.withColumn("rn", F.row_number().over(w_all))
-        .withColumn("bucket", ((F.col("rn") - 1) / F.lit(bucket_turns)).cast("long"))
-        .withColumn("gap_d", F.col("ts_us") - F.lag("ts_us").over(w_all))
-        .withColumn("gap_dir", F.col("ts_us") - F.lag("ts_us").over(w_dir))
+    t = sess.withColumn(
+        "bucket", F.floor(F.col("turn_idx").cast("long") / F.lit(bucket_turns)).cast("long")
     )
-    # keep gaps within the bucket: a gap whose earlier endpoint falls in the
-    # previous bucket is dropped here and re-added at merge via the stitch.
-    same_bucket_all = F.lag("bucket").over(w_all) == F.col("bucket")
-    same_bucket_dir = F.lag("bucket").over(w_dir) == F.col("bucket")
+    wb_all = Window.partitionBy("conv_id", "session_id", "bucket").orderBy(
+        "ts_us", "turn_idx"
+    )
+    wb_dir = Window.partitionBy("conv_id", "session_id", "bucket", "is_fwd").orderBy(
+        "ts_us", "turn_idx"
+    )
+    # lag is NULL at each bucket/direction start -> the dropped boundary gaps
+    # are exactly the ones the merge re-adds via first/last-ts stitching
     t = (
-        t.withColumn("gap_d", (F.when(same_bucket_all, F.col("gap_d")) / 1e6))
-        .withColumn("gap_dir_v", (F.when(same_bucket_dir, F.col("gap_dir")) / 1e6))
-        .withColumn("gap_f", F.when(F.col("is_fwd"), F.col("gap_dir_v")))
-        .withColumn("gap_b", F.when(~F.col("is_fwd"), F.col("gap_dir_v")))
+        t.withColumn("gap_d", F.col("ts_us") - F.lag("ts_us").over(wb_all))
+        .withColumn("gap_dir", F.col("ts_us") - F.lag("ts_us").over(wb_dir))
+        .withColumn("gap_f", F.when(F.col("is_fwd"), F.col("gap_dir")))
+        .withColumn("gap_b", F.when(~F.col("is_fwd"), F.col("gap_dir")))
     )
     partials = t.groupBy("conv_id", "session_id", "bucket").agg(*_partial_aggs())
 
@@ -270,12 +323,16 @@ def adaptive_session_features(
     turns: DataFrame,
     gap_seconds: float,
     rounding: str = "half_even",
-    hot_turn_threshold: int = 200_000,
+    hot_turn_threshold: int = DEFAULT_HOT_TURN_THRESHOLD,
 ) -> DataFrame:
     """Skew-adaptive routing: mega-conversations go through the salted
     partial-moment path (their turns spread across many tasks), everything
     else through the fused single-pass kernel. The hot-key set comes from a
     cheap partial-aggregated count and is broadcast into semi/anti splits.
+
+    The default threshold is deliberately high (BENCH/SCALE_SMOKE.md measured
+    the routed plan LOSING at ~2.5x-average skew): route only conversations
+    that dwarf a partition's row share.
     """
     from pyspark.sql import functions as F
 

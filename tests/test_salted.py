@@ -27,21 +27,24 @@ def _collect(df):
     }
 
 
+@pytest.mark.parametrize("rounding", ["half_even", "r6"])
 @pytest.mark.parametrize("bucket_turns", [7, 100000])
-def test_salted_matches_exact_kernel(spark, sess, bucket_turns):
-    exact = _collect(extract_session_features(sess, rounding="half_even"))
+def test_salted_matches_exact_kernel(spark, sess, bucket_turns, rounding):
+    """Exact-integer partial moments + kernel-identical float sequence =>
+    BIT-EQUAL to the unsalted kernel (not merely allclose)."""
+    exact = _collect(extract_session_features(sess, rounding=rounding))
     salted = _collect(
-        salted_session_features(sess, bucket_turns=bucket_turns, rounding="half_even")
+        salted_session_features(sess, bucket_turns=bucket_turns, rounding=rounding)
     )
     assert set(exact) == set(salted)
     for k in exact:
-        np.testing.assert_allclose(
-            salted[k], exact[k], rtol=1e-6, atol=1.2e-6,
+        np.testing.assert_array_equal(
+            salted[k], exact[k],
             err_msg=str(
                 [
                     (n, a, b)
                     for n, a, b in zip(FEATURE_NAMES, salted[k], exact[k])
-                    if not np.isclose(a, b, rtol=1e-6, atol=1.2e-6)
+                    if a != b
                 ]
             ),
         )
@@ -65,4 +68,4 @@ def test_adaptive_routing_matches_fused(spark, sess):
     )
     assert set(base) == set(adaptive)
     for k in base:
-        np.testing.assert_allclose(adaptive[k], base[k], rtol=1e-6, atol=1.2e-6)
+        np.testing.assert_array_equal(adaptive[k], base[k])
