@@ -292,7 +292,12 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), dim=64, threshold=0.35)
+    # 4 tables x 8 planes (256 buckets each) at test scale; the production
+    # default is 16 planes/table — the oracle mirrors these exact parameters
+    return sim.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), dim=64, threshold=0.35,
+        n_tables=4, planes_per_table=8, max_bucket_size=10_000,
+    )
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -383,7 +388,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": OD.simhash_sql(d),
         "simhash_pairs": OD.simhash_pairs_sql(d),
         "cosine_topk": OD.cosine_topk_sql(d),
-        "embedding_near_dup": OD.embedding_near_dup_sql(d, threshold=0.35),
+        "ann_lsh_topk": OD.ann_lsh_topk_sql(d),
+        "embedding_near_dup": OD.embedding_near_dup_sql(
+            d, threshold=0.35, n_tables=4, planes_per_table=8, max_bucket_size=10_000
+        ),
         "multimodal_decode": OD.multimodal_decode_sql(d),
-        # ann_lsh_topk: rows-only (recall vs brute force asserted in pytest)
     }

@@ -9,8 +9,12 @@ All variants are shuffle-architected for web scale:
 * MinHash+LSH — k md5-derived min-hashes per doc, banded into b band keys;
   candidate pairs come from an equi-join on (band_id, band_hash) — the
   classic sub-quadratic path; verified with exact Jaccard on candidates.
-* SimHash     — per-token hashes bit-summed into a 16-bit signature;
-  near-dup = small hamming distance (bit_count(xor)).
+* SimHash     — per-token hashes bit-summed into a 64-bit signature held as
+  four 16-bit bands; near-dup = small hamming distance. Candidates come from
+  the 4x16-bit band equi-join (pigeonhole: hamming<=3 over 4 bands implies at
+  least one exactly-equal band), so candidate volume is O(sum of band-bucket
+  sizes squared) with 65536 buckets per band — not the O(n^2/256) of a 16-bit
+  signature.
 * embedding cosine — see ops.similarity (shares the dot-product kernel).
 
 Hash discipline: md5 hex -> int64 via base-16 parse, reproducible in any
@@ -28,6 +32,12 @@ from flow_feature_spark.ops.text import norm_text
 N_MINHASH = 8
 N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
 SHINGLE_K = 3
+SIMHASH_BANDS = 4  # 4 x 16-bit bands = 64-bit signature
+# Shingles shared by more than this many documents are dropped from candidate
+# generation (not from per-doc sizes): one viral boilerplate shingle shared by
+# k docs would otherwise emit k^2/2 join rows. High enough that nothing is
+# dropped at test scale; at web scale set it near the band-bucket cap.
+MAX_SHINGLE_DOC_FREQ = 10_000
 
 
 def md5_int(c: Column) -> Column:
@@ -67,17 +77,34 @@ def _doc_shingles(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: int = MAX_SHINGLE_DOC_FREQ,
 ) -> DataFrame:
     """Doc pairs with word-3-gram Jaccard >= threshold.
 
     explode -> equi-join on shingle -> per-pair intersection counts -> exact
     Jaccard. The shingle join is the scale path: pairs are generated only for
-    docs that actually share a shingle.
+    docs that actually share a shingle — AND only through shingles whose
+    document frequency is <= ``max_doc_freq``. Without the cap, one viral
+    shingle shared by k docs emits k^2/2 join rows; with it, join output is
+    bounded by max_doc_freq^2/2 per shingle. Per-doc shingle-set sizes (the
+    Jaccard denominators) still count every shingle, so the score is a lower
+    bound for pairs whose overlap includes dropped boilerplate.
     """
     sh = _doc_shingles(df, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # hot-shingle set: tiny by construction (few shingles exceed the cap),
+    # partial-aggregated count then broadcast anti-join — no extra big shuffle
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -154,47 +181,69 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over word tokens (md5-derived per-token hashes)."""
-    words = F.array_distinct(F.split(norm_text(text), " "))
-    h = lambda w: md5_int(w)  # noqa: E731
-    bits = []
+def _simhash_band(harr: Column, shift: int) -> Column:
+    """16-bit SimHash band from bits [shift, shift+16) of precomputed
+    per-token hashes: bit i of the band = (sum over tokens of +/-1 by that
+    token's hash bit) > 0."""
+    def bit_merge(bit_pos: int):
+        # factory (not a default arg): pyspark infers lambda arity from the
+        # signature, so the merge fn must be strictly binary
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    terms = []
     for i in range(16):
-        # sum over tokens of (+1 if bit set else -1); bit i of signature = sum>0
-        contrib = F.aggregate(
-            words,
-            F.lit(0),
-            lambda acc, w: acc
-            + F.when(F.shiftright(h(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bits.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        contrib = F.aggregate(harr, F.lit(0), bit_merge(shift + i))
+        terms.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = F.lit(0)
-    for b in bits:
-        out = out + b
+    for t in terms:
+        out = out + t
     return out.cast("long")
 
 
+def simhash64_bands(text: Column) -> list[Column]:
+    """64-bit SimHash as four 16-bit bands [h0, h1, h2, h3].
+
+    Two md5-derived hashes per token (md5_int yields 60 usable bits, so a
+    second salted hash supplies the upper 32 signature bits): bands 0-1 use
+    bits 0..31 of md5(w), bands 2-3 use bits 0..31 of md5(w || '#hi').
+    Token hash arrays are materialized once per row; the 64 bit-sums are
+    cheap integer folds over them (JVM-side, no Python).
+    """
+    words = F.array_distinct(F.split(norm_text(text), " "))
+    ha = F.transform(words, lambda w: md5_int(w))
+    hb = F.transform(words, lambda w: md5_int(F.concat(w, F.lit("#hi"))))
+    return [
+        _simhash_band(ha, 0),
+        _simhash_band(ha, 16),
+        _simhash_band(hb, 0),
+        _simhash_band(hb, 16),
+    ]
+
+
 def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc 64-bit SimHash signature, banded: (doc_id, h0..h3)."""
+    bands = simhash64_bands(F.col(text_col))
     return df.select(
-        "doc_id", simhash16(F.col(text_col)).alias("simhash"),
+        "doc_id", *[b.alias(f"h{k}") for k, b in enumerate(bands)]
     )
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by 64-bit SimHash hamming distance.
 
-    Scale path: join on each half of the signature (pigeonhole — any pair
-    within hamming<=3 of 16 bits shares at least one exact 8-bit half).
-    """
+    Scale path: equi-join on each 16-bit band (pigeonhole — any pair within
+    hamming<=3 over 4 bands shares at least one exactly-equal band). 65536
+    buckets per band keeps candidate volume sub-quadratic; the 16-bit
+    signature this replaces had only 256 buckets per half and produced
+    O(n^2/256) candidates (4.2M pairs at sf0.1 — measured in round 1)."""
     s = simhash_docs(df, text_col)
-    lo = (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("h0")
-    hi = F.shiftright(F.col("simhash"), 8).alias("h1")
-    # persist: four join branches below would recompute the 16-bit simhash
-    keyed = s.select("doc_id", "simhash", lo, hi).persist()
+    # persist: the four join branches below would recompute the signature
+    keyed = s.persist()
+    band_cols = [f"h{k}" for k in range(SIMHASH_BANDS)]
     pairs = None
-    for part in ("h0", "h1"):
+    for part in band_cols:
         a, b = keyed.alias("a"), keyed.alias("b")
         p = a.join(
             b,
@@ -203,11 +252,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -
         ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in band_cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in band_cols],
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}"))) for c in band_cols
+    )
     return (
         pairs.distinct()
         .withColumn("hamming", ham.cast("int"))

@@ -165,21 +165,53 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.9,
+    n_tables: int = 4,
+    planes_per_table: int = 16,
+    max_bucket_size: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs (cos >= threshold) bucketed by sign-LSH (scale path)."""
+    """Near-dup pairs (cos >= threshold) via multi-table sign-LSH.
+
+    Scale shape: L independent tables of r planes each (2^r buckets per
+    table) — the single 8-plane table this replaces had 256 buckets, making
+    the within-bucket self-join O(n^2/256). Recall comes from the table
+    union, precision from the exact cosine filter. Buckets larger than
+    ``max_bucket_size`` are dropped from candidate generation (their members
+    still pair through other tables): the within-bucket join is quadratic in
+    bucket size, so one degenerate bucket (e.g. the all-zeros region) would
+    otherwise dominate the whole job. The oversized-bucket set is tiny by
+    construction -> broadcast anti-join, no extra big shuffle.
+    """
     keyed = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        lsh_bucket_key(F.col(vec_col), dim).alias("bucket"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            lsh_bucket_keys(F.col(vec_col), dim, n_tables, planes_per_table)
+        ).alias("b"),
+    ).select("vid", "v", F.col("b.table_id").alias("table_id"), F.col("b.key").alias("key"))
+    big = (
+        keyed.groupBy("table_id", "key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket_size)
+        .select("table_id", "key")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    capped = keyed.join(F.broadcast(big), ["table_id", "key"], "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vid") < F.col("b.vid")))
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .select(
             F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -9,7 +9,13 @@ parse, list vs array lambdas).
 
 from __future__ import annotations
 
-from flow_feature_spark.ops.dedup import N_BANDS, N_MINHASH, SHINGLE_K
+from flow_feature_spark.ops.dedup import (
+    MAX_SHINGLE_DOC_FREQ,
+    N_BANDS,
+    N_MINHASH,
+    SHINGLE_K,
+    SIMHASH_BANDS,
+)
 from flow_feature_spark.ops.similarity import N_HYPERPLANES, _hyperplane
 from flow_feature_spark.ops.text import BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS
 from flow_feature_spark.oracle_queries import r6
@@ -141,15 +147,23 @@ doc_sh AS (
 doc_sh_f AS (SELECT * FROM doc_sh WHERE length(shingle) > 0)"""
 
 
-def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(
+    dialect: str,
+    threshold: float = 0.5,
+    max_doc_freq: int = MAX_SHINGLE_DOC_FREQ,
+) -> str:
     d = dialect
     src = "doc_sh" if d == "spark" else "doc_sh_f"
     return f"""
 WITH {_shingles_cte(d)},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
+-- hot-shingle DF cap mirrors ops.dedup.ngram_jaccard_pairs: viral shingles
+-- are excluded from candidate generation, not from per-doc sizes
+hot AS (SELECT shingle FROM {src} GROUP BY shingle HAVING count(*) > {max_doc_freq}),
+sh_join AS (SELECT * FROM {src} WHERE shingle NOT IN (SELECT shingle FROM hot)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) AS bigint) AS inter
-  FROM {src} a JOIN {src} b
+  FROM sh_join a JOIN sh_join b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -211,50 +225,71 @@ FROM banded a JOIN banded b
 
 
 def simhash_sql(dialect: str) -> str:
+    """64-bit SimHash as four 16-bit bands, mirroring ops.dedup.simhash64_bands:
+    bands 0-1 from bits 0..31 of md5(w), bands 2-3 from md5(w || '#hi')."""
     d = dialect
     norm = _norm(d)
     words = _split(d, norm, " ")
+    salted = _md5int(d, "concat(w, '#hi')")
     if d == "spark":
         toks = f"array_distinct({words})"
-        def bitsum(i: int) -> str:
+        ha = f"transform({toks}, w -> {_md5int(d, 'w')})"
+        hb = f"transform({toks}, w -> {salted})"
+
+        def bitsum(arr: str, shift: int, i: int) -> str:
             return (
-                f"aggregate({toks}, 0, (acc, w) -> acc + "
-                f"(CASE WHEN (shiftright({_md5int(d, 'w')}, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+                f"aggregate({arr}, 0, (acc, h) -> acc + "
+                f"(CASE WHEN (shiftright(h, {shift + i}) & 1) = 1 THEN 1 ELSE -1 END))"
             )
     else:
         toks = f"list_distinct({words})"
-        def bitsum(i: int) -> str:
+        ha = f"list_transform({toks}, w -> {_md5int(d, 'w')})"
+        hb = f"list_transform({toks}, w -> {salted})"
+
+        def bitsum(arr: str, shift: int, i: int) -> str:
             return (
-                f"list_sum(list_transform({toks}, w -> "
-                f"CASE WHEN (({_md5int(d, 'w')} >> {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+                f"list_sum(list_transform({arr}, h -> "
+                f"CASE WHEN ((h >> {shift + i}) & 1) = 1 THEN 1 ELSE -1 END))"
             )
-    bit_terms = " + ".join(
-        f"(CASE WHEN ({bitsum(i)}) > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
-    )
+
+    def band(arr: str, shift: int) -> str:
+        return "cast(" + " + ".join(
+            f"(CASE WHEN ({bitsum(arr, shift, i)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        ) + " AS bigint)"
+
     return f"""
-SELECT doc_id, cast({bit_terms} AS bigint) AS simhash
-FROM documents
+WITH tok AS (SELECT doc_id, {ha} AS ha, {hb} AS hb FROM documents)
+SELECT doc_id,
+       {band('ha', 0)}  AS h0,
+       {band('ha', 16)} AS h1,
+       {band('hb', 0)}  AS h2,
+       {band('hb', 16)} AS h3
+FROM tok
 """
 
 
 def simhash_pairs_sql(dialect: str, max_hamming: int = 3) -> str:
+    """4x16-bit band equi-join candidates + exact 64-bit hamming filter."""
     d = dialect
-    xor = "(sa ^ sb)" if d == "spark" else "xor(sa, sb)"
+    bands = [f"h{k}" for k in range(SIMHASH_BANDS)]
+    xor = (
+        (lambda c: f"(a{c} ^ b{c})") if d == "spark" else (lambda c: f"xor(a{c}, b{c})")
+    )
+    branch = " UNION ".join(
+        f"""
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {', '.join(f'a.{c} AS a{c}, b.{c} AS b{c}' for c in bands)}
+  FROM keyed a JOIN keyed b ON a.{c0} = b.{c0} AND a.doc_id < b.doc_id"""
+        for c0 in bands
+    )
+    ham = " + ".join(f"bit_count({xor(c)})" for c in bands)
     return f"""
-WITH s AS ({simhash_sql(d)}),
-keyed AS (SELECT doc_id, simhash, simhash & 255 AS h0,
-                 {"shiftright(simhash, 8)" if d == "spark" else "(simhash >> 8)"} AS h1
-          FROM s),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
-  FROM keyed a JOIN keyed b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
-  UNION
-  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-  FROM keyed a JOIN keyed b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, cast(bit_count({xor}) AS int) AS hamming
+WITH keyed AS ({simhash_sql(d)}),
+pairs AS ({branch})
+SELECT doc_a, doc_b, cast({ham} AS int) AS hamming
 FROM pairs
-WHERE bit_count({xor}) <= {max_hamming}
+WHERE ({ham}) <= {max_hamming}
 """
 
 
@@ -300,32 +335,117 @@ WHERE rn <= {k}
 """
 
 
-def _bucket_sql(dialect: str, vec: str, dim: int, n_planes: int = N_HYPERPLANES) -> str:
+def _bucket_sql(
+    dialect: str,
+    vec: str,
+    dim: int,
+    n_planes: int = N_HYPERPLANES,
+    plane_offset: int = 0,
+) -> str:
     terms = []
     for p in range(n_planes):
         if dialect == "spark":
-            hp = "array(" + ", ".join(repr(v) + "D" for v in _hyperplane(dim, p)) + ")"
+            hp = "array(" + ", ".join(
+                repr(v) + "D" for v in _hyperplane(dim, plane_offset + p)
+            ) + ")"
         else:
-            hp = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+            hp = "[" + ", ".join(repr(v) for v in _hyperplane(dim, plane_offset + p)) + "]"
         dot = _dot_sql(dialect, vec, hp, dim)
         terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "cast(" + " + ".join(terms) + " AS int)"
 
 
-def embedding_near_dup_sql(dialect: str, dim: int = 64, threshold: float = 0.9) -> str:
+def _multi_table_keyed_cte(
+    dialect: str, dim: int, n_tables: int, planes_per_table: int
+) -> str:
+    """(vid, table_id, key) rows — one per vector per LSH table, mirroring
+    ops.similarity.lsh_bucket_keys (plane_offset = table_id * planes_per_table)."""
+    branches = []
+    for t in range(n_tables):
+        bucket = _bucket_sql(
+            dialect, "embedding", dim, planes_per_table, plane_offset=t * planes_per_table
+        )
+        branches.append(
+            f"SELECT vec_id AS vid, {t} AS table_id, {bucket} AS key FROM embeddings"
+        )
+    return "keyed AS (" + " UNION ALL ".join(branches) + ")"
+
+
+def embedding_near_dup_sql(
+    dialect: str,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    planes_per_table: int = 16,
+    max_bucket_size: int = 10_000,
+) -> str:
+    """Multi-table LSH near-dup mirror (bucket-size cap + table union +
+    exact cosine re-filter), token-for-token with
+    ops.similarity.embedding_near_dup_pairs."""
     d = dialect
-    bucket = _bucket_sql(d, "embedding", dim)
-    dot = _dot_sql(d, "a.v", "b.v", dim)
-    na = _norm2_sql(d, "a.v", dim)
-    nb = _norm2_sql(d, "b.v", dim)
-    cos = r6(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+    dot = _dot_sql(d, "e1.embedding", "e2.embedding", dim)
+    n1 = _norm2_sql(d, "e1.embedding", dim)
+    n2 = _norm2_sql(d, "e2.embedding", dim)
+    cos = r6(f"({dot}) / (sqrt({n1}) * sqrt({n2}))")
     return f"""
-WITH keyed AS (
-  SELECT vec_id AS vid, embedding AS v, {bucket} AS bucket FROM embeddings
+WITH {_multi_table_keyed_cte(d, dim, n_tables, planes_per_table)},
+big AS (
+  SELECT table_id, key FROM keyed GROUP BY table_id, key
+  HAVING count(*) > {max_bucket_size}
+),
+capped AS (
+  SELECT k.* FROM keyed k LEFT JOIN big
+    ON k.table_id = big.table_id AND k.key = big.key
+  WHERE big.key IS NULL
+),
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM capped a JOIN capped b
+    ON a.table_id = b.table_id AND a.key = b.key AND a.vid < b.vid
 )
-SELECT a.vid AS vec_a, b.vid AS vec_b, {cos} AS cos_sim
-FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vid < b.vid
+SELECT vec_a, vec_b, {cos} AS cos_sim
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = vec_a
+JOIN embeddings e2 ON e2.vec_id = vec_b
 WHERE {cos} >= {threshold}
+"""
+
+
+def ann_lsh_topk_sql(
+    dialect: str,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 5,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+) -> str:
+    """Mirror of ops.similarity.lsh_bucket_topk: candidates share any LSH
+    table bucket with a query (hyperplanes are deterministic md5, so the
+    bucket keys are engine-independent), exact cosine re-rank, top-k."""
+    d = dialect
+    dot = _dot_sql(d, "e1.embedding", "e2.embedding", dim)
+    n1 = _norm2_sql(d, "e1.embedding", dim)
+    n2 = _norm2_sql(d, "e2.embedding", dim)
+    cos = r6(f"({dot}) / (sqrt({n1}) * sqrt({n2}))")
+    return f"""
+WITH {_multi_table_keyed_cte(d, dim, n_tables, planes_per_table)},
+q AS (SELECT vid AS query_id, table_id, key FROM keyed WHERE vid < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vid AS cand_id
+  FROM keyed c JOIN q ON c.table_id = q.table_id AND c.key = q.key
+  WHERE c.vid <> q.query_id
+),
+scored AS (
+  SELECT query_id, cand_id, {cos} AS cos_sim
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = query_id
+  JOIN embeddings e2 ON e2.vec_id = cand_id
+)
+SELECT query_id, cand_id, cos_sim, cast(rn AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored) t
+WHERE rn <= {k}
 """
 
 
