@@ -232,6 +232,47 @@ def q_asof_running_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_source_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: whole-file 72-vector PER SOURCE FILE (reference per-pcap
+    identifier, get_flow_feature.py:57) — conv_id := input_file_name()
+    basename, one session per file, through the grouped kernel."""
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    src = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    ev = ev.withColumn("source", src)
+    w = W.partitionBy("source").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("source").alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("event_type") == "purchase").alias("is_fwd"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("plen"),
+        F.floor("value").cast("long").alias("win"),
+        (F.floor("value").cast("long") % 256).cast("int").alias("flags"),
+        F.length("event_type").cast("long").alias("ihl"),
+    ).withColumn("session_id", F.lit(1).cast("long"))
+    feats = extract_session_features(turns, rounding="r6")
+    return feats.select(
+        F.col("conv_id").alias("source"), "session_id", "n_turns", *FEATURE_NAMES
+    )
+
+
+def q_proto_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: explicit two-protocol classify-then-filter through the engine
+    operator (prepare.tag_protocol), aggregated per tag."""
+    from flow_feature_spark.prepare import tag_protocol
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    tagged = tag_protocol(
+        ev, proto_col="event_type",
+        mapping={"purchase": "TCP", "view": "UDP", "click": "UDP"},
+    )
+    return tagged.groupBy("proto").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.length(F.coalesce(F.col("props"), F.lit("")))).alias("bytes_total"),
+    )
+
+
 def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 SQL-strategy build through the engine API (same oracle)."""
     feats = _session_feature_payload(spark, sf_dir)
@@ -340,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "whole_table_features": _sql(OQ.whole_table_features_sql),
+        "per_source_features": q_per_source_features,
+        "proto_tag_filter": q_proto_tag,
         "json_field": _sql(OQ.json_field_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
@@ -379,6 +422,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),
         "whole_table_features": OQ.whole_table_features_sql(d),
+        # per-source: the oracle reads the parquet with filename=true at the
+        # driver's correctness scale (sf0.01, per the contract)
+        "per_source_features": OQ.per_source_features_sql(d),
+        "proto_tag_filter": OQ.proto_tag_sql(d),
         "json_field": OQ.json_field_sql(d),
         "text_analysis": OD.text_analysis_sql(d),
         "dedup_exact": OD.dedup_exact_sql(d),

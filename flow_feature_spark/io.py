@@ -82,12 +82,34 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST_NAME)
 
 
-def read_manifest(path: str) -> dict | None:
-    mp = _manifest_path(path)
-    if not os.path.exists(mp):
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the path's scheme — manifest IO must live on
+    the SAME filesystem namespace as the parquet data Spark writes, so
+    hdfs:///s3a:// checkpoint locations work, not just local paths."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def read_manifest(path: str, spark: SparkSession | None = None) -> dict | None:
+    if spark is None:
+        # local-filesystem fallback for callers without a session
+        mp = _manifest_path(path)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as fh:
+            return json.load(fh)
+    fs, _ = _hadoop_fs(spark, path)
+    mp = spark._jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    if not fs.exists(mp):
         return None
-    with open(mp) as fh:
-        return json.load(fh)
+    stream = fs.open(mp)
+    try:
+        content = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(content)
 
 
 def write_checkpoint(
@@ -104,8 +126,9 @@ def write_checkpoint(
     aborted write (the resume path recomputes). Equivalent to an Iceberg
     snapshot commit for the single-writer case.
     """
+    spark = df.sparkSession
     df.write.mode(mode).parquet(path)
-    n = df.sparkSession.read.parquet(path).count()
+    n = spark.read.parquet(path).count()
     manifest = {
         "job": job,
         "rows": n,
@@ -114,10 +137,21 @@ def write_checkpoint(
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "metrics": metrics.snapshot() if metrics is not None else None,
     }
-    tmp = _manifest_path(path) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2)
-    os.replace(tmp, _manifest_path(path))  # atomic commit
+    # manifest IO through the Hadoop FS of the DATA path (write tmp, rename
+    # into place — atomic on HDFS/local; the commit marker either exists
+    # complete or not at all)
+    jvm = spark._jvm
+    fs, _ = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path, f"{MANIFEST_NAME}.tmp.{uuid.uuid4().hex}")
+    final = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
     return manifest
 
 
@@ -130,7 +164,7 @@ def resume_or_compute(
 ) -> tuple[DataFrame, bool]:
     """Return (df, resumed). Valid manifest with matching job+fingerprint ->
     read the checkpoint; otherwise run ``compute()`` and commit it."""
-    m = read_manifest(path)
+    m = read_manifest(path, spark)
     if (
         m is not None
         and m.get("job") == job

@@ -102,9 +102,20 @@ def run(argv: list[str] | None = None) -> int:
         return feats
 
     if args.checkpoint:
+        # every semantics-affecting flag participates: rerunning with any of
+        # them changed must recompute, not return the stale checkpoint
+        fingerprint = "|".join([
+            args.input,
+            str(args.gap_seconds),
+            args.engine,
+            args.rounding,
+            f"hk={args.drop_housekeeping}",
+            f"rt={args.reset_tool}",
+            f"probes={args.probes if args.mode == 'asof' else None}",
+        ])
         out, resumed = resume_or_compute(
             spark, args.checkpoint, args.mode, compute,
-            input_fingerprint=f"{args.input}|{args.gap_seconds}|{args.engine}",
+            input_fingerprint=fingerprint,
         )
         print(f"checkpoint {'resumed' if resumed else 'computed'}: {out.count()} rows")
     else:

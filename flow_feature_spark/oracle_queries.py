@@ -226,6 +226,11 @@ def _agg_block(dialect: str) -> tuple[str, str]:
 def feature_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
     """Full 72-feature per-(conv_id, session_id) query (events-backed)."""
     raw, fin = _agg_block(dialect)
+    # the centered deviation gap*n - sum can exceed int64 for very long
+    # sessions (~1e12 µs gaps x ~1e7 gap count), so the multiply runs in a
+    # wide exact domain: decimal(19,0)*bigint -> decimal(38,0) in Spark,
+    # HUGEINT (int128) in DuckDB — identical integer values either way
+    wide = "decimal(19,0)" if dialect == "spark" else "HUGEINT"
     return f"""
 WITH {turns_cte(dialect)}, {sess_cte(gap_us)},
 gaps AS (
@@ -238,8 +243,10 @@ gaps AS (
 ),
 centered AS (
   SELECT *,
-         gap_dir_us * (count(gap_dir_us) OVER wd) - (sum(gap_dir_us) OVER wd) AS dev_dir,
-         gap_all_us * (count(gap_all_us) OVER wa) - (sum(gap_all_us) OVER wa) AS dev_all
+         cast(gap_dir_us AS {wide}) * (count(gap_dir_us) OVER wd)
+           - (sum(gap_dir_us) OVER wd) AS dev_dir,
+         cast(gap_all_us AS {wide}) * (count(gap_all_us) OVER wa)
+           - (sum(gap_all_us) OVER wa) AS dev_all
   FROM gaps
   WINDOW wd AS (PARTITION BY conv_id, session_id, is_fwd),
          wa AS (PARTITION BY conv_id, session_id)
@@ -605,6 +612,73 @@ turns AS (
          cast(length(event_type) AS bigint)                        AS ihl
   FROM events
 )"""
+
+
+def per_source_turns_cte(dialect: str, events_path: str) -> str:
+    """Turns keyed by SOURCE FILE basename (F10 — reference
+    get_flow_feature.py:57 per-pcap identifier): conv_id := basename of the
+    file each row was scanned from. The DuckDB side reads the parquet with
+    filename=true; the Spark engine side uses input_file_name()."""
+    if dialect == "spark":
+        src = "element_at(split(input_file_name(), '/'), -1)"
+        from_clause = "events"
+    else:
+        src = "parse_filename(filename)"
+        from_clause = f"read_parquet('{events_path}', filename=true)"
+    return f"""
+turns AS (
+  SELECT {src}                                                     AS conv_id,
+         cast(row_number() OVER (PARTITION BY {src}
+                                 ORDER BY ts, event_id) AS int)    AS turn_idx,
+         event_type                                                AS role,
+         props                                                     AS text,
+         ts,
+         {_epoch_us(dialect)}                                      AS ts_us,
+         (event_type = 'purchase')                                 AS is_fwd,
+         cast(length(coalesce(props, '')) AS bigint)               AS plen,
+         cast(floor(value) AS bigint)                              AS win,
+         cast(cast(floor(value) AS bigint) % 256 AS int)           AS flags,
+         cast(length(event_type) AS bigint)                        AS ihl
+  FROM {from_clause}
+)"""
+
+
+def per_source_features_sql(
+    dialect: str, events_path: str = "/root/testdata/sf0.01/events.parquet"
+) -> str:
+    """F10: the whole-file 72-vector PER SOURCE FILE — pcap-mode grouping at
+    shard granularity ([source, n_turns] + features). One session per file
+    (gap larger than any dataset)."""
+    huge_gap = 10**15
+    base = feature_vector_sql(dialect, gap_us=huge_gap)
+    base = base.replace(turns_cte(dialect), per_source_turns_cte(dialect, events_path), 1)
+    from flow_feature_spark.schema import FEATURE_NAMES
+
+    return f"""
+WITH flow AS ({base})
+SELECT conv_id AS source, session_id, cast(n_turns AS bigint) AS n_turns,
+       {', '.join(FEATURE_NAMES)}
+FROM flow
+"""
+
+
+def proto_tag_sql(dialect: str) -> str:
+    """P2: explicit two-protocol classify-then-filter (flow_basic.py:113-124
+    proto 6->TCP / 17->UDP, other protocols dropped), aggregated per tag."""
+    return """
+SELECT proto,
+       cast(count(*) AS bigint)                AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       cast(sum(length(coalesce(props, ''))) AS bigint) AS bytes_total
+FROM (
+  SELECT *, CASE WHEN event_type = 'purchase' THEN 'TCP'
+                 WHEN event_type IN ('view', 'click') THEN 'UDP'
+                 END AS proto
+  FROM events
+) t
+WHERE proto IN ('TCP', 'UDP')
+GROUP BY proto
+"""
 
 
 def whole_table_features_sql(dialect: str) -> str:

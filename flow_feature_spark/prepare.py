@@ -64,7 +64,49 @@ def drop_housekeeping(
     via job.py --drop-housekeeping.
     """
     bare = (F.col("plen") < min_len) & F.col("flags").isNotNull() & (F.col("flags") == 0)
-    return df.filter(~(F.col("role").isin(*roles) | bare))
+    # coalesce: a NULL role must KEEP the row — role.isin(...) is NULL for
+    # NULL roles, and ~(NULL | false) is NULL, which filter() would drop
+    is_housekeeping = F.coalesce(F.col("role").isin(*roles), F.lit(False)) | bare
+    return df.filter(~is_housekeeping)
+
+
+def with_source_file(df: DataFrame, col: str = "source") -> Column | DataFrame:
+    """Tag each row with the basename of the file it was scanned from (F10).
+
+    Analog of the reference's per-pcap identifier prefix
+    (get_flow_feature.py:57: ``[pcap_name, flow_num] + features``): a
+    directory of per-day shards keeps its per-shard breakdown. Must be
+    applied directly on the scanned DataFrame, before any shuffle —
+    ``input_file_name()`` is only defined at scan time.
+    """
+    return df.withColumn(
+        col, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def tag_protocol(
+    df: DataFrame,
+    proto_col: str = "role",
+    mapping: dict[str, str] | None = None,
+    keep: tuple[str, ...] = ("TCP", "UDP"),
+    tag_col: str = "proto",
+) -> DataFrame:
+    """Classify-then-filter on a protocol-like column (P2, basic edition).
+
+    The reference's two-protocol predicate (flow_basic.py:113-124: ip.proto
+    6 -> "TCP", 17 -> "UDP", anything else dropped) as an explicit operator:
+    map raw values to protocol tags via ``mapping``, keep only rows whose tag
+    is in ``keep``. Unmapped (or NULL) values are dropped, mirroring the
+    reference's silent skip of other protocols.
+    """
+    if mapping is None:
+        # transcript default: dialog turns are the TCP analog (stateful,
+        # bidirectional), telemetry/system turns the UDP analog
+        mapping = {"user": "TCP", "assistant": "TCP", "system": "UDP"}
+    tag = F.lit(None).cast("string")
+    for raw, name in mapping.items():
+        tag = F.when(F.col(proto_col) == raw, F.lit(name)).otherwise(tag)
+    return df.withColumn(tag_col, tag).filter(F.col(tag_col).isin(*keep))
 
 
 def normalize_turns(

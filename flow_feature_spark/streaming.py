@@ -63,18 +63,28 @@ def stateful_session_features(
     stream_turns: DataFrame,
     gap_seconds: float = 1800.0,
     rounding: str = "half_even",
+    timeout: str = "none",
+    watermark: str = "0 seconds",
 ):
     """Streaming FULL 72-vector per closed session via applyInPandasWithState.
 
     Input: a streaming DataFrame of normalized turns (conv_id, turn_idx,
     ts_us, is_fwd, plen, win, flags, ihl — prepare.normalize_turns works on
-    streaming frames too). Per conv, the open session's turns are buffered in
-    group state; whenever the gap threshold splits the buffer, every CLOSED
-    session is emitted through the same batch kernel the batch engine uses
-    (kernel_fast.batch_feature_frame), so streaming and batch vectors are
-    computed by literally the same code. The trailing open session stays in
-    state and is flushed when the event-time watermark passes its gap window
-    (timeout), or never in NoTimeout demo mode.
+    streaming frames too; ``timeout="event_time"`` additionally requires the
+    ``ts`` timestamp column for the watermark). Per conv, the open session's
+    turns are buffered in group state; whenever the gap threshold splits the
+    buffer, every CLOSED session is emitted through the same batch kernel the
+    batch engine uses (kernel_fast.batch_feature_frame), so streaming and
+    batch vectors are computed by literally the same code.
+
+    The trailing open session:
+    * ``timeout="event_time"`` — each update arms an EventTimeTimeout at
+      (last buffered ts + gap); when the stream's watermark passes it, the
+      state times out and the tail session is emitted exactly as the batch
+      kernel would have. This is the production mode: state is bounded and
+      every session eventually flushes.
+    * ``timeout="none"`` — the tail stays in state forever (bounded-input
+      demo/testing mode).
 
     Out of parity scope (the reference is batch-only) — this is the W7
     upgrade path made concrete; semantics pinned against the batch engine in
@@ -89,7 +99,11 @@ def stateful_session_features(
     from flow_feature_spark.kernel_fast import batch_feature_frame
     from flow_feature_spark.schema import FEATURE_SCHEMA
 
+    if timeout not in ("none", "event_time"):
+        raise ValueError(f"timeout must be 'none' or 'event_time', got {timeout!r}")
+    event_time = timeout == "event_time"
     gap_us = int(round(gap_seconds * 1_000_000))
+    gap_ms = gap_us // 1000
 
     state_schema = T.StructType([
         T.StructField("sid", T.LongType()),
@@ -111,12 +125,21 @@ def stateful_session_features(
         else:
             sid, buf = 1, pd.DataFrame(columns=COLS)
 
-        batch = pd.concat([b[COLS] for b in pdf_iter], ignore_index=True)
+        # a timed-out invocation carries NO data — pd.concat([]) would raise
+        frames = [b[COLS] for b in pdf_iter]
+        batch = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=COLS)
+        )
         allrows = (
             pd.concat([buf, batch], ignore_index=True)
             .sort_values(["ts_us", "turn_idx"], kind="mergesort")
             .reset_index(drop=True)
         )
+        if not len(allrows):
+            state.remove()
+            return
         ts = allrows["ts_us"].to_numpy(np.int64)
         # split points where the gap exceeds the threshold
         splits = (np.flatnonzero(np.diff(ts) > gap_us) + 1).tolist()
@@ -129,7 +152,13 @@ def stateful_session_features(
             if len(out):
                 yield out
         tail = allrows.iloc[open_seg]
+        # NB: a timed-out invocation's pdf_iter may yield an EMPTY frame (not
+        # zero frames) — hasTimedOut alone decides; Spark never mixes new
+        # data into a timeout invocation
         if state.hasTimedOut:
+            # the watermark passed the tail's gap window: the open session
+            # can never grow again — flush it exactly as the batch kernel
+            # would and drop the state
             out = batch_feature_frame(
                 tail.assign(conv_id=conv, session_id=sid), rounding
             )
@@ -147,31 +176,24 @@ def stateful_session_features(
                 tail["flags"].astype("int32").tolist(),
                 tail["ihl"].astype("int64").tolist(),
             ))
+            if event_time:
+                # re-arm: flush when the watermark passes last-turn ts + gap.
+                # A tail whose gap already elapsed (other convs advanced the
+                # watermark past it) flushes at the next micro-batch — Spark
+                # rejects timeout timestamps at or below the watermark.
+                last_ms = int(tail["ts_us"].max()) // 1000
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last_ms + gap_ms + 1, wm + 1))
 
-    return stream_turns.groupBy("conv_id").applyInPandasWithState(
+    src = stream_turns
+    conf = GroupStateTimeout.NoTimeout
+    if event_time:
+        src = stream_turns.withWatermark("ts", watermark)
+        conf = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=FEATURE_SCHEMA,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
-
-
-FULL_VECTOR_STATEFUL_SKETCH = """
-def stateful_features(key, pdf_iter, state):  # applyInPandasWithState
-    # state value: (ts_us[], is_fwd[], plen[], win[], flags[], ihl[]) arrays
-    # of the conv's open session, + session ordinal
-    buf = state.get() if state.exists else empty_buffers()
-    for pdf in pdf_iter:
-        buf = append(buf, pdf)                    # arrive in event-time order
-        for closed in split_on_gap(buf, GAP_US):  # all but the open tail
-            yield feature_vector_frame(closed)    # the batch kernel, reused
-        buf = open_tail(buf, GAP_US)
-    if state.hasTimedOut:                         # watermark passed the gap
-        yield feature_vector_frame(buf); state.remove()
-    else:
-        state.update(buf); state.setTimeoutTimestamp(last_ts(buf) + GAP_MS)
-df.groupBy("conv_id").applyInPandasWithState(
-    stateful_features, FEATURE_SCHEMA, STATE_SCHEMA,
-    "append", GroupStateTimeout.EventTimeTimeout)
-"""

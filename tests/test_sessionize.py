@@ -93,3 +93,53 @@ def test_drop_housekeeping(spark):
     )
     out = drop_housekeeping(normalize_turns(df))
     assert sorted(r["turn_idx"] for r in out.collect()) == [0, 3]
+
+
+def test_drop_housekeeping_keeps_null_role(spark):
+    """Three-valued-logic trap: a NULL role is neither system nor bare and
+    must be KEPT (role.isin(...) evaluates to NULL for NULL roles)."""
+    from flow_feature_spark.prepare import drop_housekeeping
+
+    df = spark.createDataFrame(
+        [("c1", 1, None, 100, 5), ("c1", 2, "system", 100, 5), ("c1", 3, "user", 100, 5)],
+        "conv_id string, turn_idx int, role string, plen long, flags int",
+    )
+    kept = {r["turn_idx"] for r in drop_housekeeping(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_tag_protocol_classifies_and_drops(spark):
+    """P2: explicit two-protocol classify-then-filter (flow_basic.py:113-124
+    analog): unmapped and NULL values are dropped like non-TCP/UDP packets."""
+    from flow_feature_spark.prepare import tag_protocol
+
+    df = spark.createDataFrame(
+        [(1, "user"), (2, "assistant"), (3, "system"), (4, "weird"), (5, None)],
+        "id long, role string",
+    )
+    rows = {r["id"]: r["proto"] for r in tag_protocol(df).collect()}
+    assert rows == {1: "TCP", 2: "TCP", 3: "UDP"}
+
+
+def test_per_source_grouping_multi_file(spark, tmp_path):
+    """F10: a directory of shards keeps its per-shard breakdown — one group
+    per source file via input_file_name() basename."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.prepare import with_source_file
+
+    base = spark.range(30).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    for day in range(3):
+        base.filter(F.col("k") == day).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/day{day}.parquet"
+        )
+    df = with_source_file(spark.read.parquet(f"{tmp_path}/day*.parquet"))
+    per_src = (
+        df.withColumn("source", F.regexp_extract("source", r"(part-[^/]*)", 1))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per_src) == 3
+    assert all(r["n"] == 10 for r in per_src)

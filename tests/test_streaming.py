@@ -123,3 +123,89 @@ def test_stateful_full_vector_matches_batch(spark):
     for conv, sid in batch:
         per_conv_last[conv] = max(per_conv_last.get(conv, 0), sid)
     assert all(sid == per_conv_last[conv] for conv, sid in missing)
+
+
+def test_event_time_timeout_flushes_open_tails(spark):
+    """EventTimeTimeout mode: once the watermark passes an open session's gap
+    window, its tail vector is emitted — and the COMPLETE streaming output is
+    bit-identical to the batch kernel over the same turns."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.schema import FEATURE_NAMES
+    from flow_feature_spark.streaming import stateful_session_features
+
+    tr = synth_transcripts(spark, n_convs=10, turns_mean=8, hot_factor=2)
+    turns = normalize_turns(tr).select(
+        "conv_id", "turn_idx", "ts", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
+    )
+    path = tempfile.mkdtemp(prefix="ffs_timeout_") + "/in"
+
+    # watermark advancers: two single-turn far-future rows, > gap apart (each
+    # is a <2-turn session, dropped by the kernel in BOTH engines)
+    max_us = turns.agg(F2.max("ts_us")).collect()[0][0]
+    advancers = []
+    for j, off in enumerate((10**9 * 3600, 10**9 * 3600 * 2)):
+        adv_us = max_us + off
+        advancers.append(
+            turns.limit(1).select(
+                F2.lit("zz_advancer").alias("conv_id"),
+                F2.lit(j).cast("int").alias("turn_idx"),
+                F2.timestamp_micros(F2.lit(adv_us)).alias("ts"),
+                F2.lit(adv_us).alias("ts_us"),
+                F2.lit(False).alias("is_fwd"),
+                F2.lit(0).cast("long").alias("plen"),
+                F2.lit(0).cast("long").alias("win"),
+                F2.lit(0).cast("int").alias("flags"),
+                F2.lit(0).cast("long").alias("ihl"),
+            )
+        )
+
+    # three staged micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+    # data, then two watermark advancers so the timeout actually fires
+    for i, df in enumerate([turns, *advancers]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    q = (
+        stateful_session_features(
+            stream, gap_seconds=1800.0, rounding="r6",
+            timeout="event_time", watermark="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timeout_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in spark.sql("SELECT * FROM timeout_out").collect()
+    }
+    batch_in = spark.read.parquet(f"{path}/batch*").drop("ts")
+    batch = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in sessionize_and_extract_fast(batch_in, 1800.0, rounding="r6").collect()
+    }
+    # tails flushed by the watermark => complete, bit-equal output
+    assert set(got) == set(batch), (set(batch) - set(got), set(got) - set(batch))
+    for k, v in got.items():
+        assert v == batch[k], (k, [
+            (n, a, b) for n, a, b in zip(FEATURE_NAMES, v, batch[k]) if a != b
+        ])
