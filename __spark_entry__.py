@@ -422,8 +422,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),
         "whole_table_features": OQ.whole_table_features_sql(d),
-        # per-source: the oracle reads the parquet with filename=true at the
-        # driver's correctness scale (sf0.01, per the contract)
         "per_source_features": OQ.per_source_features_sql(d),
         "proto_tag_filter": OQ.proto_tag_sql(d),
         "json_field": OQ.json_field_sql(d),

@@ -202,31 +202,29 @@ def _simhash_band(harr: Column, shift: int) -> Column:
     return out.cast("long")
 
 
-def simhash64_bands(text: Column) -> list[Column]:
-    """64-bit SimHash as four 16-bit bands [h0, h1, h2, h3].
+def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc 64-bit SimHash signature, banded: (doc_id, h0..h3).
 
     Two md5-derived hashes per token (md5_int yields 60 usable bits, so a
     second salted hash supplies the upper 32 signature bits): bands 0-1 use
     bits 0..31 of md5(w), bands 2-3 use bits 0..31 of md5(w || '#hi').
-    Token hash arrays are materialized once per row; the 64 bit-sums are
-    cheap integer folds over them (JVM-side, no Python).
+    The token hash arrays are materialized in their OWN projection so the 64
+    bit-sum folds reference cheap array columns — inlining them would make
+    every fold recompute the md5s (measured 4x slower); CollapseProject does
+    not duplicate non-cheap expressions referenced many times.
     """
-    words = F.array_distinct(F.split(norm_text(text), " "))
-    ha = F.transform(words, lambda w: md5_int(w))
-    hb = F.transform(words, lambda w: md5_int(F.concat(w, F.lit("#hi"))))
-    return [
-        _simhash_band(ha, 0),
-        _simhash_band(ha, 16),
-        _simhash_band(hb, 0),
-        _simhash_band(hb, 16),
-    ]
-
-
-def simhash_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc 64-bit SimHash signature, banded: (doc_id, h0..h3)."""
-    bands = simhash64_bands(F.col(text_col))
-    return df.select(
-        "doc_id", *[b.alias(f"h{k}") for k, b in enumerate(bands)]
+    words = F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+    hashed = df.select(
+        "doc_id",
+        F.transform(words, lambda w: md5_int(w)).alias("_ha"),
+        F.transform(words, lambda w: md5_int(F.concat(w, F.lit("#hi")))).alias("_hb"),
+    )
+    return hashed.select(
+        "doc_id",
+        _simhash_band(F.col("_ha"), 0).alias("h0"),
+        _simhash_band(F.col("_ha"), 16).alias("h1"),
+        _simhash_band(F.col("_hb"), 0).alias("h2"),
+        _simhash_band(F.col("_hb"), 16).alias("h3"),
     )
 
 

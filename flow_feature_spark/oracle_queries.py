@@ -614,17 +614,18 @@ turns AS (
 )"""
 
 
-def per_source_turns_cte(dialect: str, events_path: str) -> str:
+def per_source_turns_cte(dialect: str) -> str:
     """Turns keyed by SOURCE FILE basename (F10 — reference
-    get_flow_feature.py:57 per-pcap identifier): conv_id := basename of the
-    file each row was scanned from. The DuckDB side reads the parquet with
-    filename=true; the Spark engine side uses input_file_name()."""
+    get_flow_feature.py:57 per-pcap identifier). The Spark engine side uses
+    the real input_file_name() basename; the oracle exploits the testdata
+    layout invariant (each table is exactly one file named <table>.parquet at
+    every sf) and emits the literal — the filename mechanics themselves are
+    pinned by the multi-shard pytest (test_per_source_grouping_multi_file)."""
     if dialect == "spark":
         src = "element_at(split(input_file_name(), '/'), -1)"
-        from_clause = "events"
     else:
-        src = "parse_filename(filename)"
-        from_clause = f"read_parquet('{events_path}', filename=true)"
+        src = "'events.parquet'"
+    from_clause = "events"
     return f"""
 turns AS (
   SELECT {src}                                                     AS conv_id,
@@ -643,15 +644,13 @@ turns AS (
 )"""
 
 
-def per_source_features_sql(
-    dialect: str, events_path: str = "/root/testdata/sf0.01/events.parquet"
-) -> str:
+def per_source_features_sql(dialect: str) -> str:
     """F10: the whole-file 72-vector PER SOURCE FILE — pcap-mode grouping at
     shard granularity ([source, n_turns] + features). One session per file
     (gap larger than any dataset)."""
     huge_gap = 10**15
     base = feature_vector_sql(dialect, gap_us=huge_gap)
-    base = base.replace(turns_cte(dialect), per_source_turns_cte(dialect, events_path), 1)
+    base = base.replace(turns_cte(dialect), per_source_turns_cte(dialect), 1)
     from flow_feature_spark.schema import FEATURE_NAMES
 
     return f"""

@@ -1,0 +1,130 @@
+"""Extreme-skew smoke: 30M turns with a hot_factor-20,000 mega-conversation.
+
+Measures, each in its OWN JVM on the same tmpfs input:
+  1. plain fused pipeline (scan -> normalize -> fused sessionize+kernel)
+  2. adaptive routing (hot conv -> salted partial-moment path, rest -> fused)
+  3. hot-conv-only isolate: single-task grouped kernel vs the salted path
+     (the direct before/after of the de-skewed salted pre-pass: the grouped
+     kernel funnels all rows of the conv through ONE task, the salted path
+     spreads them over n_turns/bucket_turns tasks)
+
+Appends a results table to BENCH/SCALE_SMOKE.md. Machine must be idle.
+Usage: python tools/smoke_skew.py [n_convs] [hot_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from flow_feature_spark.session import get_spark
+from flow_feature_spark.prepare import normalize_turns
+from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+from flow_feature_spark.kernel import extract_session_features
+from flow_feature_spark.salted import adaptive_session_features, salted_session_features
+from flow_feature_spark.sessionize import assign_sessions
+from pyspark.sql import functions as F
+
+job, path, hot_threshold = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = get_spark(app_name=f"skew_{{job}}", master="local[32]", shuffle_partitions=64)
+stored = spark.read.parquet(path)
+
+def run():
+    turns = normalize_turns(stored)
+    if job == "plain_fused":
+        return sessionize_and_extract_fast(turns, 1800.0, rounding="r6",
+                                           num_partitions=64).count()
+    if job == "adaptive":
+        return adaptive_session_features(turns, 1800.0, rounding="r6",
+                                         hot_turn_threshold=hot_threshold).count()
+    hot = turns.filter(F.col("conv_id") == "conv00000000")
+    sess = assign_sessions(hot, gap_seconds=1800.0)
+    if job == "hot_kernel":
+        return extract_session_features(sess, rounding="r6").count()
+    if job == "hot_salted":
+        return salted_session_features(sess, rounding="r6").count()
+    raise SystemExit(f"unknown job {{job}}")
+
+run()  # warm-up
+times = []
+for _ in range(2):
+    t0 = time.time(); n = run(); times.append(round(time.time() - t0, 2))
+print("RESULT " + json.dumps({{"job": job, "best": min(times), "all": times, "out_rows": n}}))
+spark.stop()
+"""
+
+
+def main() -> int:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    hot_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+    sys.path.insert(0, REPO)
+    from flow_feature_spark.session import get_spark
+    from flow_feature_spark.synth import synth_transcripts
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ffs_skew_", dir="/dev/shm"),
+                        "transcripts")
+    spark = get_spark(app_name="skew_gen", master="local[32]", shuffle_partitions=64)
+    tr = synth_transcripts(spark, n_convs=n_convs, turns_mean=60,
+                           hot_factor=hot_factor, partitions=64)
+    tr.write.mode("overwrite").parquet(path)
+    n_total = spark.read.parquet(path).count()
+    n_hot = spark.read.parquet(path).filter("conv_id = 'conv00000000'").count()
+    spark.stop()
+    print(f"input: {n_total:,} turns, hot conv {n_hot:,}")
+
+    worker = WORKER.format(repo=REPO)
+    results = {}
+    for job in ("hot_kernel", "hot_salted", "plain_fused", "adaptive"):
+        proc = subprocess.run(
+            [sys.executable, "-c", worker, job, path, str(600_000)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not lines:
+            print(proc.stderr[-3000:])
+            raise RuntimeError(f"job {job} failed")
+        results[job] = json.loads(lines[-1][len("RESULT "):])
+        print(json.dumps(results[job]))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = [
+        "",
+        f"## Extreme-skew re-run ({stamp}) — de-skewed salted pre-pass",
+        "",
+        f"Input: {n_total:,} turns, {n_convs:,} convs, hot conv = {n_hot:,} turns"
+        f" ({hot_factor:,}x median). local[32], shuffle partitions 64, tmpfs,"
+        " own JVM per job, best of 2 after warm-up.",
+        "",
+        "| job | best s | runs | out rows |",
+        "|---|---|---|---|",
+    ]
+    for job, r in results.items():
+        md.append(f"| {job} | {r['best']} | {r['all']} | {r['out_rows']:,} |")
+    hk, hs = results["hot_kernel"]["best"], results["hot_salted"]["best"]
+    md += [
+        "",
+        f"Hot-conv isolate: salted partial-moment path {hs} s vs single-task"
+        f" grouped kernel {hk} s -> **{hk / hs:.1f}x** on the straggler alone"
+        " (bucket = turn_idx arithmetic, bucket-scoped gap windows: no"
+        " full-session window anywhere in the salted plan).",
+        f"Whole-table: adaptive routing {results['adaptive']['best']} s vs"
+        f" plain fused {results['plain_fused']['best']} s at this skew level.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "SCALE_SMOKE.md"), "a") as fh:
+        fh.write("\n".join(md) + "\n")
+    print("appended BENCH/SCALE_SMOKE.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
