@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--csv-header", action="store_true",
                    help="write a header row (reference: print_colname switch)")
     p.add_argument("--checkpoint", help="checkpoint dir: resume if a valid manifest exists")
+    p.add_argument("--per-source", action="store_true",
+                   help="features mode: one flow per input FILE (reference "
+                   "pcap mode, get_flow_feature.py:57 — emits "
+                   "[source, ...features] per shard instead of per session)")
     p.add_argument("--drop-housekeeping", action="store_true",
                    help="drop short system/housekeeping turns before grouping "
                    "(reference is_handshake_packet analog; off by default like "
@@ -63,6 +67,11 @@ def run(argv: list[str] | None = None) -> int:
     from flow_feature_spark.session import get_spark
     from flow_feature_spark.sessionize import assign_sessions, dedup_turns
 
+    from pyspark.sql import SparkSession
+
+    # getOrCreate reuses an active session (e.g. pytest's); only stop what
+    # this run created
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(
         app_name=f"ffs_job_{args.mode}",
         master=args.master,
@@ -71,6 +80,22 @@ def run(argv: list[str] | None = None) -> int:
 
     def compute():
         df = spark.read.parquet(args.input)
+        if args.per_source and args.mode == "features":
+            # pcap mode: the whole FILE is one flow — key by source basename,
+            # order rows by time within the file
+            from pyspark.sql import Window as W
+            from pyspark.sql import functions as F
+
+            from flow_feature_spark.prepare import with_source_file
+
+            src = with_source_file(df)
+            w = W.partitionBy("source").orderBy("ts", "conv_id", "turn_idx")
+            turns = normalize_turns(
+                src.withColumn("turn_idx", F.row_number().over(w)),
+                conv_col="source",
+            ).withColumn("session_id", F.lit(1).cast("long"))
+            feats = extract_session_features(turns, rounding=args.rounding)
+            return attach_feature_ts(feats).withColumnRenamed("conv_id", "source")
         turns = normalize_turns(df)
         if args.drop_housekeeping:
             turns = drop_housekeeping(turns)
@@ -110,6 +135,7 @@ def run(argv: list[str] | None = None) -> int:
             args.engine,
             args.rounding,
             f"hk={args.drop_housekeeping}",
+            f"ps={args.per_source}",
             f"rt={args.reset_tool}",
             f"probes={args.probes if args.mode == 'asof' else None}",
         ])
@@ -137,7 +163,8 @@ def run(argv: list[str] | None = None) -> int:
     else:
         out.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.output}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -283,6 +283,12 @@ def salted_session_features(
     t = sess.withColumn(
         "bucket", F.floor(F.col("turn_idx").cast("long") / F.lit(bucket_turns)).cast("long")
     )
+    # EXPLICIT repartition on the bucket key: the bucket-scoped windows'
+    # ClusteredDistribution is otherwise satisfied by the upstream conv_id
+    # hash partitioning (a key subset), which would keep every bucket of a
+    # mega-conversation inside ONE task — exactly the straggler this module
+    # exists to kill. The extra exchange moves each bucket to its own task.
+    t = t.repartition("conv_id", "session_id", "bucket")
     wb_all = Window.partitionBy("conv_id", "session_id", "bucket").orderBy(
         "ts_us", "turn_idx"
     )
