@@ -46,7 +46,9 @@ def main() -> int:
 
     def timed(name: str, fn) -> None:
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run may pay codegen/JIT
+        # best-of-3: first run pays codegen/JIT, and this shared VM's
+        # scheduling jitter can double any single ~1s run (BENCH/EXPR_SWEEP.md)
+        for _ in range(3):
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
@@ -72,7 +74,7 @@ def main() -> int:
     n_turns = stored.count()
 
     dt, n_vecs = float("inf"), 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_vecs = sessionize_and_extract_fast(
             normalize_turns(stored), gap_seconds=1800.0, rounding="r6",
