@@ -332,6 +332,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.lsh_bucket_topk(_embs(spark, sf_dir), dim=64, n_queries=8, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return sim.ivf_topk(_embs(spark, sf_dir), dim=64, n_queries=8, k=5)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # 4 tables x 8 planes (256 buckets each) at test scale; the production
     # default is 16 planes/table — the oracle mirrors these exact parameters
@@ -394,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -434,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": OD.simhash_pairs_sql(d),
         "cosine_topk": OD.cosine_topk_sql(d),
         "ann_lsh_topk": OD.ann_lsh_topk_sql(d),
+        "ivf_topk": OD.ivf_topk_sql(d),
         "embedding_near_dup": OD.embedding_near_dup_sql(
             d, threshold=0.35, n_tables=4, planes_per_table=8, max_bucket_size=10_000
         ),

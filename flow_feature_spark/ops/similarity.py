@@ -161,6 +161,94 @@ def lsh_bucket_topk(
     )
 
 
+IVF_ANCHOR_NS = 10_000  # hyperplane-namespace offset for IVF anchors
+
+
+def _ivf_anchor(dim: int, a: int) -> list[float]:
+    """Deterministic UNIT-NORM anchor vector #a (md5-derived, data-independent
+    — a random-projection coarse quantizer, so the DuckDB oracle can embed the
+    identical literals)."""
+    import math
+
+    raw = _hyperplane(dim, IVF_ANCHOR_NS + a)
+    norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+    return [x / norm for x in raw]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    n_queries: int = 8,
+    k: int = 5,
+    n_anchors: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF-style coarse quantizer: every vector is assigned
+    to its nearest anchor (cell), queries probe their ``nprobe`` nearest
+    cells, candidates = cell equi-join, exact cosine re-rank.
+
+    Scale shape: the corpus does K dot products per row once (embarrassingly
+    parallel, no shuffle), candidates come from a co-partitioned equi-join on
+    cell id — the classic inverted-file layout; expected candidate volume is
+    ~nprobe/n_anchors of the corpus per query. Anchors are unit-norm
+    md5-derived constants, so cell assignment is reproducible in any engine.
+    """
+    from pyspark.sql import Window as W
+
+    anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
+
+    def dots_arr(v: Column) -> Column:
+        return F.array(
+            *[_dot(v, F.array(*[F.lit(x) for x in anc])) for anc in anchors]
+        )
+
+    # materialize the dot array in its own projection (same CollapseProject
+    # rationale as simhash: argmax references it twice)
+    based = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        dots_arr(F.col(vec_col)).alias("_dots"),
+    )
+    keyed = based.select(
+        "vid", "v",
+        F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
+        .cast("int").alias("cell"),
+    )
+    qd = based.filter(F.col("vid") < n_queries)
+    cand_cells = F.array(
+        *[
+            F.struct(
+                (-F.element_at(F.col("_dots"), a + 1)).alias("nd"),
+                F.lit(a + 1).alias("cell"),
+            )
+            for a in range(n_anchors)
+        ]
+    )
+    probes = qd.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(cand_cells), 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        keyed.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("cand_id"), "qv", "v")
+    )
+    scored = cand.select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,

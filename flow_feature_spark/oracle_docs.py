@@ -449,6 +449,79 @@ WHERE rn <= {k}
 """
 
 
+def ivf_topk_sql(
+    dialect: str,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 5,
+    n_anchors: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Mirror of ops.similarity.ivf_topk: unit-norm md5 anchors, first-max
+    cell assignment (list_position/array_position are both 1-based and
+    first-occurrence), per-query top-nprobe cell probes, exact cosine
+    re-rank."""
+    from flow_feature_spark.ops.similarity import _ivf_anchor
+
+    d = dialect
+    anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
+
+    def lit_vec(vals: list[float]) -> str:
+        if d == "spark":
+            return "array(" + ", ".join(repr(v) + "D" for v in vals) + ")"
+        return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+    dots = [
+        _dot_sql(d, "embedding", lit_vec(anc), dim) for anc in anchors
+    ]
+    dots_arr = ("array(" if d == "spark" else "[") + ", ".join(dots) + (
+        ")" if d == "spark" else "]"
+    )
+    if d == "spark":
+        cell = "cast(array_position(_dots, array_max(_dots)) AS int)"
+    else:
+        cell = "cast(list_position(_dots, list_max(_dots)) AS int)"
+    anchor_rows = " UNION ALL ".join(
+        f"SELECT {a + 1} AS cell, {lit_vec(anc)} AS av"
+        for a, anc in enumerate(anchors)
+    )
+    qdot = _dot_sql(d, "q.qv", "a.av", dim)
+    rdot = _dot_sql(d, "e1.embedding", "e2.embedding", dim)
+    n1 = _norm2_sql(d, "e1.embedding", dim)
+    n2 = _norm2_sql(d, "e2.embedding", dim)
+    cos = r6(f"({rdot}) / (sqrt({n1}) * sqrt({n2}))")
+    return f"""
+WITH based AS (SELECT vec_id AS vid, embedding, {dots_arr} AS _dots FROM embeddings),
+keyed AS (SELECT vid, {cell} AS cell FROM based),
+anchors AS ({anchor_rows}),
+q AS (SELECT vec_id AS vid, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT vid AS query_id, cell
+  FROM (SELECT q.vid, a.cell,
+               row_number() OVER (PARTITION BY q.vid
+                                  ORDER BY ({qdot}) DESC, a.cell) AS rn
+        FROM q CROSS JOIN anchors a) t
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, c.vid AS cand_id
+  FROM keyed c JOIN probes p ON c.cell = p.cell
+  WHERE c.vid <> p.query_id
+),
+scored AS (
+  SELECT query_id, cand_id, {cos} AS cos_sim
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = query_id
+  JOIN embeddings e2 ON e2.vec_id = cand_id
+)
+SELECT query_id, cand_id, cos_sim, cast(rn AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored) t
+WHERE rn <= {k}
+"""
+
+
 def multimodal_decode_sql(dialect: str) -> str:
     """Oracle for the mapInPandas decode stub (documents are ASCII, so
     first-UTF-8-byte == codepoint of the first char)."""

@@ -176,3 +176,25 @@ def test_text_analysis_basics(spark):
     assert rows[2]["quality"] == 0.0
     assert rows[3]["lang_pred"] == "zh"
     assert rows[1]["fp_md5"] != rows[2]["fp_md5"]
+
+
+def test_ivf_topk_scores_and_planted_duplicate(spark, embs):
+    """IVF coarse-quantizer ANN: every returned score must equal the brute
+    force cosine, and a planted exact duplicate of a query lands at rank 1
+    (same vector -> same cell -> guaranteed candidate)."""
+    dup = (
+        embs.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(10_000).cast(embs.schema["vec_id"].dataType.simpleString()))
+    )
+    both = embs.unionByName(dup)
+    approx = sim.ivf_topk(both, dim=64, n_queries=8, k=5).collect()
+    assert approx
+    exact = sim.cosine_topk(both, n_queries=8, k=5).collect()
+    exact_cos = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_cos:
+            assert abs(exact_cos[key] - r["cos_sim"]) < 1e-12
+    q0 = [r for r in approx if r["query_id"] == 0]
+    assert q0 and q0[0]["cand_id"] == 10_000 and q0[0]["cos_sim"] == 1.0 \
+        and q0[0]["rank"] == 1

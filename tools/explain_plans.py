@@ -71,6 +71,24 @@ def main() -> int:
     n_ev = len(re.findall(r"\+- Exchange|^Exchange", pe, re.M))
     check("events-mapped pipeline has <= 2 exchanges", n_ev <= 2, f"found {n_ev}")
 
+    # 1b. salted path: the bucket windows must run under a (conv, session,
+    # bucket) exchange — Spark would otherwise satisfy their clustering with
+    # the upstream conv_id partitioning (a key subset) and keep every bucket
+    # of a hot conversation in ONE task (the round-2 de-skew regression trap)
+    from flow_feature_spark.salted import salted_session_features
+    from flow_feature_spark.sessionize import assign_sessions
+
+    salted = salted_session_features(assign_sessions(turns, 1800.0))
+    ps = plan_of(salted, "simple")
+    check(
+        "salted bucket windows have their own bucket-key exchange",
+        re.search(r"Exchange hashpartitioning\(conv_id[^)]*bucket", ps) is not None,
+    )
+    check(
+        "salted plan has no full-session window",
+        re.search(r"windowspecdefinition\(conv_id#\d+, session_id#\d+L, ts_us", ps) is None,
+    )
+
     # 2. predicate pushdown on a filtered scan
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
