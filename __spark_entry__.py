@@ -350,6 +350,13 @@ def q_multimodal_decode(spark, sf_dir):
     return mm.decode_media(media)
 
 
+def q_frame_sample(spark, sf_dir):
+    media = mm.documents_as_media(_docs(spark, sf_dir))
+    return mm.sample_frames(media, every_n=2).select(
+        "doc_id", "frame_idx", "frame_len", "frame_head"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions.
 # ---------------------------------------------------------------------------
@@ -401,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -444,4 +452,5 @@ def oracle_sql() -> dict[str, str]:
             d, threshold=0.35, n_tables=4, planes_per_table=8, max_bucket_size=10_000
         ),
         "multimodal_decode": OD.multimodal_decode_sql(d),
+        "frame_sample": OD.frame_sample_sql(d),
     }

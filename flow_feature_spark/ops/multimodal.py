@@ -69,6 +69,82 @@ def _decode_stub(payload: bytes | None) -> tuple[int, int, int, int, int]:
     return n, payload[0], n % 640, n % 480, 1 + n % 16
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("out_width", T.IntegerType(), True),
+    T.StructField("out_height", T.IntegerType(), True),
+    T.StructField("resized", T.BinaryType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("frame_len", T.LongType(), True),
+    T.StructField("frame_head", T.IntegerType(), True),
+])
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: binary in -> binary out through mapInPandas.
+
+    Stub resize (no PIL in this container): deterministic stride-sample of
+    the payload bytes down to exactly width*height bytes (cycled if shorter)
+    — shape-correct and byte-deterministic so tests can pin it. The real
+    build swaps ``_resize_stub`` for ``PIL.Image.resize`` behind the same
+    Arrow-batched signature; partitioning/memory behavior is identical.
+    """
+    target = width * height
+
+    def _resize_stub(payload: bytes | None) -> bytes:
+        if not payload:
+            return b"\x00" * target
+        n = len(payload)
+        return bytes(payload[(i * n) // target] for i in range(target))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "out_width": width,
+                "out_height": height,
+                "resized": [_resize_stub(p) for p in pdf["payload"]],
+            })
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: one INPUT row fans out to one row per sampled frame
+    (the genuinely row-exploding mapInPandas shape a video pipeline needs).
+
+    Stub framing (no ffmpeg): the payload splits into ``1 + len % 16`` equal
+    chunks of ceil(len/n_frames) bytes, of which every ``every_n``-th is
+    emitted. Deterministic byte arithmetic -> DuckDB-oracle-checkable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                n = len(payload)
+                nf = 1 + n % 16
+                fs = -(-n // nf)  # ceil
+                for i in range(0, nf, every_n):
+                    fr = payload[i * fs:(i + 1) * fs]
+                    rows.append((int(doc_id), i, fr, len(fr),
+                                 fr[0] if fr else -1))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame", "frame_len", "frame_head"],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def decode_media(media: DataFrame, batch_size_hint: int = 4096) -> DataFrame:
     """mapInPandas decoder: binary payload -> typed feature columns.
 

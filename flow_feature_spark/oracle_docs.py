@@ -522,6 +522,41 @@ WHERE rn <= {k}
 """
 
 
+def frame_sample_sql(dialect: str, every_n: int = 2) -> str:
+    """Mirror of ops.multimodal.sample_frames byte arithmetic (DuckDB only —
+    the Spark side is the mapInPandas op itself). Emits typed ints, not raw
+    frame bytes, so the driver's value hash is representation-stable."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, encode(coalesce(text, '')) AS p,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+  WHERE octet_length(encode(coalesce(text, ''))) > 0
+),
+f AS (
+  SELECT doc_id, p, n, (1 + n % 16) AS nf,
+         ((n + (1 + n % 16) - 1) // (1 + n % 16)) AS fs
+  FROM m
+),
+fr AS (
+  -- DuckDB substring() has no BLOB overload: slice the hex encoding instead
+  -- (2 hex chars per byte)
+  SELECT doc_id, unnest(range(0, nf)) AS i, hex(p) AS hx, fs FROM f
+),
+sliced AS (
+  SELECT doc_id, i, substr(hx, cast(i*fs*2 + 1 AS bigint), cast(fs*2 AS bigint)) AS fh
+  FROM fr WHERE i % {every_n} = 0
+)
+SELECT doc_id,
+       cast(i AS int)                 AS frame_idx,
+       cast(length(fh) // 2 AS bigint) AS frame_len,
+       cast(CASE WHEN length(fh) = 0 THEN -1
+                 ELSE CAST(('0x' || substr(fh, 1, 2)) AS INT)
+            END AS int)               AS frame_head
+FROM sliced
+"""
+
+
 def multimodal_decode_sql(dialect: str) -> str:
     """Oracle for the mapInPandas decode stub (documents are ASCII, so
     first-UTF-8-byte == codepoint of the first char)."""

@@ -198,3 +198,34 @@ def test_ivf_topk_scores_and_planted_duplicate(spark, embs):
     q0 = [r for r in approx if r["query_id"] == 0]
     assert q0 and q0[0]["cand_id"] == 10_000 and q0[0]["cos_sim"] == 1.0 \
         and q0[0]["rank"] == 1
+
+
+def test_resize_and_frame_sample_plumbing(spark, docs):
+    """Binary-in/binary-out resize and row-exploding frame sampling: shape
+    and byte-level determinism of the stubs, against a pure-Python replay."""
+    media = mm.documents_as_media(docs.limit(50))
+    resized = mm.resize_media(media, width=8, height=4).collect()
+    assert len(resized) == 50
+    assert all(len(r["resized"]) == 32 for r in resized)
+    assert all(r["out_width"] == 8 and r["out_height"] == 4 for r in resized)
+
+    frames = mm.sample_frames(media, every_n=2).collect()
+    texts = {r["doc_id"]: (r["text"] or "").encode("utf-8")
+             for r in docs.limit(50).collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in texts.items():
+        if not payload:
+            assert doc_id not in by_doc
+            continue
+        n = len(payload)
+        nf = 1 + n % 16
+        fs = -(-n // nf)
+        expect = [(i, payload[i * fs:(i + 1) * fs]) for i in range(0, nf, 2)]
+        got = sorted(((r["frame_idx"], bytes(r["frame"])) for r in by_doc[doc_id]))
+        assert got == expect, doc_id
+        for r in by_doc[doc_id]:
+            fr = bytes(r["frame"])
+            assert r["frame_len"] == len(fr)
+            assert r["frame_head"] == (fr[0] if fr else -1)
