@@ -95,6 +95,30 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm_text(text))
 
 
+# Rolling-hash modulus: < 2^40 so acc*31 + tok stays far below int64 in both
+# engines (no overflow, no wrap divergence).
+ROLL_MOD = 1_099_511_627_689
+ROLL_BASE = 31
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    h = fold(tokens, (acc, t) -> (acc*31 + md5_60bit(t) % M) % M), seeded
+    with the FIRST token's value (matching DuckDB's list_reduce convention,
+    which has no explicit initial accumulator). Unlike fp_md5 this changes
+    when token ORDER changes, the classic shape for shift-tolerant dedup
+    pipelines."""
+    words = F.split(norm_text(text), " ")
+    h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
+    mapped = F.transform(words, lambda w: h(w) % F.lit(ROLL_MOD))
+    rest = F.slice(mapped, 2, F.greatest(F.size(mapped) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(mapped, 1),
+        lambda acc, x: (acc * ROLL_BASE + x) % F.lit(ROLL_MOD),
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents -> per-doc text-analysis feature row."""
     t = F.col(text_col)
@@ -108,4 +132,5 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp_md5"),
+        rolling_fingerprint(t).alias("fp_roll"),
     )

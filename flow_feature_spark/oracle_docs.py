@@ -17,7 +17,13 @@ from flow_feature_spark.ops.dedup import (
     SIMHASH_BANDS,
 )
 from flow_feature_spark.ops.similarity import N_HYPERPLANES, _hyperplane
-from flow_feature_spark.ops.text import BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS
+from flow_feature_spark.ops.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    ROLL_BASE,
+    ROLL_MOD,
+    STOPWORDS,
+)
 from flow_feature_spark.oracle_queries import r6
 
 
@@ -95,6 +101,21 @@ def text_analysis_sql(dialect: str) -> str:
         f" + CASE WHEN {punct_ratio} < 0.2 AND {n_ws} > 0 THEN 0.3 ELSE 0.0 END"
         f" + CASE WHEN {stop_ratio} > 0.05 THEN 0.3 ELSE 0.0 END)"
     )
+    # rolling polynomial fingerprint over the token stream (order-sensitive);
+    # both engines fold left-to-right seeded with the first mapped token
+    tok_mod = f"({_md5int(d, 'w')} % {ROLL_MOD})"
+    if d == "spark":
+        words = _split(d, norm, " ")
+        mapped = f"transform({words}, w -> {tok_mod})"
+        fp_roll = (
+            f"aggregate(slice({mapped}, 2, greatest(size({mapped}) - 1, 0)),"
+            f" element_at({mapped}, 1),"
+            f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
+        )
+    else:
+        words = _split(d, norm, " ")
+        mapped = f"list_transform({words}, w -> {tok_mod})"
+        fp_roll = f"list_reduce({mapped}, (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
     return f"""
 SELECT doc_id,
        cast({n_ws} AS bigint)    AS n_ws_tokens,
@@ -104,7 +125,8 @@ SELECT doc_id,
        {stop_ratio}              AS stopword_ratio,
        {quality}                 AS quality,
        {lang_pred}               AS lang_pred,
-       md5({norm})               AS fp_md5
+       md5({norm})               AS fp_md5,
+       cast({fp_roll} AS bigint) AS fp_roll
 FROM documents
 """
 

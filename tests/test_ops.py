@@ -229,3 +229,29 @@ def test_resize_and_frame_sample_plumbing(spark, docs):
             fr = bytes(r["frame"])
             assert r["frame_len"] == len(fr)
             assert r["frame_head"] == (fr[0] if fr else -1)
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    """fp_roll distinguishes token order (fp_md5 of different text differs
+    anyway; the rolling hash's point is order sensitivity at equal token
+    SETS) and replays the fold in pure Python."""
+    import hashlib
+
+    from flow_feature_spark.ops.text import ROLL_BASE, ROLL_MOD
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fp_roll"] for r in tx.analyze_documents(df).collect()}
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[2]
+
+    def h(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % ROLL_MOD
+
+    toks = [h(w) for w in "alpha beta gamma".split()]
+    acc = toks[0]
+    for x in toks[1:]:
+        acc = (acc * ROLL_BASE + x) % ROLL_MOD
+    assert rows[1] == acc
