@@ -19,7 +19,11 @@ Numeric contract: integer sums/sumsq via int64 reduceat (exact); the centered
 IAT deviations use float64 products whose error (~1e-16 relative) is ~10
 orders of magnitude below the r6 rounding grid — agreement with the exact
 kernel is asserted in tests (and empirically bit-equal after r6 on the
-driver data).
+driver data). Exactness bound for the int64 sumsq path: per-session
+sum(plen^2) must stay below 2^63 — i.e. max_plen^2 * session_turns < 9.2e18
+(e.g. 1e6-char texts x 9M-turn sessions). Beyond that, route through the
+grouped exact kernel (Python-int accumulation) or the salted path
+(decimal(38,0) squared sums).
 """
 
 from __future__ import annotations
