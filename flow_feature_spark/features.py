@@ -48,6 +48,45 @@ def _flag_bit(flags: Column, bit: int) -> Column:
     return F.shiftright(flags, bit).bitwiseAND(F.lit(1))
 
 
+def session_features_exact_sql(
+    turns: DataFrame,
+    gap_seconds: float,
+    view_name: str = "ffs_turns_v",
+) -> DataFrame:
+    """EXACT 72-feature extraction as pure Spark SQL — no Python anywhere.
+
+    Unlike ``session_features_expr`` (bround over float avg/stddev —
+    allclose only), this runs the same exact-integer/decimal-domain SQL the
+    DuckDB oracle uses (oracle_queries.feature_vector_sql) over any
+    normalized transcript DataFrame: gap sessionization, centered exact IAT
+    deviations, r6 rounding — bit-identical to the Arrow kernel (pinned in
+    tests) while staying entirely inside whole-stage codegen / JVM. This is
+    the no-Python-boundary scale path for clusters where the Arrow socket is
+    the bottleneck; the fused kernel remains the fewer-shuffles option.
+    """
+    from flow_feature_spark.oracle_queries import feature_vector_sql
+
+    turns.select(
+        "conv_id", "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
+    ).createOrReplaceTempView(view_name)
+    turns_sql = (
+        f"turns AS (SELECT conv_id, turn_idx, ts_us, is_fwd, plen, win, flags, ihl "
+        f"FROM {view_name})"
+    )
+    sql = feature_vector_sql(
+        "spark",
+        gap_us=int(round(gap_seconds * 1_000_000)),
+        turns_sql=turns_sql,
+        include_bounds=True,
+    )
+    out = turns.sparkSession.sql(sql)
+    # kernel column order: keys, bounds, n_turns, features
+    return out.select(
+        "conv_id", "session_id", "session_start_ts", "session_end_ts",
+        "n_turns", *FEATURE_NAMES,
+    )
+
+
 def session_features_expr(
     df: DataFrame, keys: tuple[str, str] = ("conv_id", "session_id")
 ) -> DataFrame:

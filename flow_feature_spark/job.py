@@ -32,7 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
-    p.add_argument("--engine", choices=["fast", "kernel", "expr", "salted"], default="fast")
+    p.add_argument(
+        "--engine",
+        choices=["fast", "kernel", "expr", "exact-sql", "salted"],
+        default="fast",
+        help="fast: fused Arrow kernel (fewest shuffles); kernel: grouped "
+        "exact kernel; expr: float Catalyst twin (allclose); exact-sql: "
+        "exact-domain pure SQL, no Python boundary; salted: skew-proof "
+        "partial moments",
+    )
     p.add_argument("--rounding", choices=["half_even", "r6"], default="half_even")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--csv-header", action="store_true",
@@ -108,6 +116,10 @@ def run(argv: list[str] | None = None) -> int:
             feats = sessionize_and_extract_fast(
                 turns, gap_seconds=args.gap_seconds, rounding=args.rounding
             )
+        elif args.engine == "exact-sql" and args.reset_tool is None:
+            from flow_feature_spark.features import session_features_exact_sql
+
+            feats = session_features_exact_sql(turns, gap_seconds=args.gap_seconds)
         else:
             sess = assign_sessions(
                 turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool

@@ -223,16 +223,36 @@ def _agg_block(dialect: str) -> tuple[str, str]:
     return ",\n    ".join(raw), ",\n    ".join(fin)
 
 
-def feature_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
-    """Full 72-feature per-(conv_id, session_id) query (events-backed)."""
+def feature_vector_sql(
+    dialect: str,
+    gap_us: int = GAP_US,
+    turns_sql: str | None = None,
+    include_bounds: bool = False,
+) -> str:
+    """Full 72-feature per-(conv_id, session_id) query.
+
+    ``turns_sql`` overrides the events-backed turns CTE with any SQL source
+    exposing the kernel input columns (conv_id, turn_idx, ts_us, is_fwd,
+    plen, win, flags, ihl) — this is how the engine runs the exact-domain
+    pipeline JVM-only over real transcript tables
+    (features.session_features_exact_sql). ``include_bounds`` appends
+    session_start_ts/session_end_ts (the kernel's metadata columns).
+    """
     raw, fin = _agg_block(dialect)
+    src = turns_sql if turns_sql is not None else turns_cte(dialect)
+    bounds = (
+        "\n  cast(min_us AS double)/1e6 AS session_start_ts,"
+        "\n  cast(max_us AS double)/1e6 AS session_end_ts,"
+        if include_bounds
+        else ""
+    )
     # the centered deviation gap*n - sum can exceed int64 for very long
     # sessions (~1e12 µs gaps x ~1e7 gap count), so the multiply runs in a
     # wide exact domain: decimal(19,0)*bigint -> decimal(38,0) in Spark,
     # HUGEINT (int128) in DuckDB — identical integer values either way
     wide = "decimal(19,0)" if dialect == "spark" else "HUGEINT"
     return f"""
-WITH {turns_cte(dialect)}, {sess_cte(gap_us)},
+WITH {src}, {sess_cte(gap_us)},
 gaps AS (
   SELECT *,
          ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
@@ -257,11 +277,11 @@ agg AS (
   FROM centered GROUP BY conv_id, session_id HAVING count(*) >= 2
 ),
 fin AS (
-  SELECT conv_id, session_id, n,
+  SELECT conv_id, session_id, n, min_us, max_us,
     {fin}
   FROM agg
 )
-SELECT conv_id, session_id, cast(n AS bigint) AS n_turns,
+SELECT conv_id, session_id, cast(n AS bigint) AS n_turns,{bounds}
   fiat_mean, fiat_min, fiat_max, fiat_std,
   biat_mean, biat_min, biat_max, biat_std,
   diat_mean, diat_min, diat_max, diat_std,
