@@ -87,6 +87,18 @@ def main() -> int:
     extra["turns_per_sec"] = round(n_turns / dt, 1)
     extra["feature_rows_per_sec"] = round(n_vecs / dt, 1)
 
+    # the exact pure-SQL engine over the same synth table (bit-equal output,
+    # no Python boundary)
+    from flow_feature_spark.features import session_features_exact_sql
+
+    dtx = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        session_features_exact_sql(normalize_turns(stored), 1800.0).count()
+        dtx = min(dtx, time.time() - t0)
+    queries["feature_exact_sql_synth"] = round(dtx, 3)
+    extra["exact_sql_turns_per_sec"] = round(n_turns / dtx, 1)
+
     # --- the rest of the headline suite
     for name in (
         "session_features_sql",
