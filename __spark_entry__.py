@@ -161,6 +161,16 @@ def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + max-staleness: tolerance_seconds nulls matches older than 6 h."""
+    feats = _session_feature_payload(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    out = asof_join_fast(feats, probes, strict=True, tolerance_seconds=21600.0)
+    return out.select(
+        "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
+    )
+
+
 def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 through the engine API: replayed turns collapse via dedup_turns."""
     from flow_feature_spark.sessionize import dedup_turns
@@ -382,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_turns": q_dedup_turns,
         "asof_merge": q_asof_merge,
         "asof_fast": q_asof_fast,
+        "asof_tolerance": q_asof_tolerance,
         "asof_running_vector": q_asof_running_vector,
         "asof_union_window_api": q_asof_union_window_api,
         # relational operator coverage
@@ -426,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "session_features_salted": OQ.feature_vector_sql(d),
         "asof_merge": OQ.asof_sql(d),
         "asof_fast": OQ.asof_sql(d),
+        "asof_tolerance": OQ.asof_tolerance_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

@@ -22,6 +22,13 @@ Two independent strategies, cross-checked in tests:
 Zero-leakage contract (strict=True): a probe at ts T sees only features with
 feature_ts strictly < T. Probes before any feature, and entities with no
 feature rows at all, yield null feature columns (left semantics).
+
+Max-staleness contract (``tolerance_seconds``): when set, a probe only
+matches a feature with ``probe_ts - feature_ts <= tolerance`` — the standard
+feature-store guard against serving stale state. Since the as-of match is
+always the LATEST admissible feature, a too-old match means no admissible
+feature exists, so the row nulls out (identical semantics in all three
+strategies and the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -31,6 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _tol_us(tolerance_seconds: float | None) -> int | None:
+    return None if tolerance_seconds is None else int(round(tolerance_seconds * 1e6))
 
 
 def _feature_value_cols(features: DataFrame, entity_col: str, ts_col: str) -> list[str]:
@@ -45,9 +56,11 @@ def asof_join_union_window(
     probe_entity: str = "entity_id",
     probe_ts: str = "probe_ts",
     strict: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Union-and-window as-of join. Returns probe rows + feature columns."""
     vals = _feature_value_cols(features, feature_entity, feature_ts)
+    tol_us = _tol_us(tolerance_seconds)
 
     # side tie-break at equal ts: strict -> probe sorts BEFORE the feature row
     # (cannot see it); inclusive -> after.
@@ -57,7 +70,10 @@ def asof_join_union_window(
         F.col(feature_entity).alias("__ent"),
         F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
         F.lit(feat_side).alias("__side"),
-        F.struct(*[F.col(c) for c in vals]).alias("__payload"),
+        F.struct(
+            F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__ft_us"),
+            *[F.col(c) for c in vals],
+        ).alias("__payload"),
         F.lit(None).cast("timestamp").alias(probe_ts),
     )
     p = probes.select(
@@ -79,6 +95,14 @@ def asof_join_union_window(
         .withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == probe_side)
     )
+    if tol_us is not None:
+        fresh = (
+            F.col("__last").isNotNull()
+            & ((F.col("__t_us") - F.col("__last").getField("__ft_us")) <= tol_us)
+        )
+        joined = joined.withColumn(
+            "__last", F.when(fresh, F.col("__last"))
+        )
     return joined.select(
         F.col("__ent").alias(probe_entity),
         F.col(probe_ts),
@@ -94,9 +118,11 @@ def asof_join_merge(
     probe_entity: str = "entity_id",
     probe_ts: str = "probe_ts",
     strict: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Cogrouped sort-merge as-of join via ``pd.merge_asof`` (the fast path)."""
     vals = _feature_value_cols(features, feature_entity, feature_ts)
+    tol_us = _tol_us(tolerance_seconds)
 
     out_fields = [
         T.StructField(probe_entity, T.StringType(), False),
@@ -131,6 +157,7 @@ def asof_join_merge(
             on="__t_us",
             allow_exact_matches=allow_exact,
             direction="backward",
+            tolerance=tol_us,  # None -> unbounded lookback
         )
         merged[probe_entity] = merged["__ent"]
         merged[probe_ts] = pd.to_datetime(merged["__t_us"], unit="us")
@@ -152,11 +179,13 @@ def asof_join_fast(
     probe_ts: str = "probe_ts",
     strict: bool = True,
     num_partitions: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Vectorized distributed sort-merge as-of join (see module docstring)."""
     import numpy as np
 
     vals = _feature_value_cols(features, feature_entity, feature_ts)
+    tol_us = _tol_us(tolerance_seconds)
     probe_side, feat_side = (0, 1) if strict else (1, 0)
 
     f = features.select(
@@ -203,6 +232,11 @@ def asof_join_fast(
                 src = last_feat[probe_rows]
                 ok = src >= 0
                 ok[ok] = ent_codes[src[ok]] == ent_codes[probe_rows[ok]]
+                if tol_us is not None:
+                    t_arr = pdf["__t_us"].to_numpy()
+                    ok[ok] = (
+                        t_arr[probe_rows[ok]] - t_arr[src[ok]]
+                    ) <= tol_us
                 out = pd.DataFrame(
                     {
                         probe_entity: ent[probe_rows],

@@ -176,6 +176,29 @@ def resume_or_compute(
     return spark.read.parquet(path), False
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: tuple[str, ...] = ("conv_id",),
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Persist df as a bucketed (and optionally sort-ordered) external table.
+
+    Two tables bucketed identically on the join key co-locate their buckets:
+    joins and aggregations on that key run WITHOUT a shuffle exchange (and
+    without a sort, when sort_cols prefix the join key) — the pre-partitioning
+    strategy the north rule calls for on repeatedly-joined 10^12-row tables.
+    Data lands at ``path`` (external table); only metadata enters the catalog.
+    """
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def input_fingerprint_for(df: DataFrame) -> str:
     """Cheap deterministic input descriptor: count + schema (for resume
     matching). At 10^12 scale swap in the Iceberg snapshot id."""

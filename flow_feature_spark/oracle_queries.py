@@ -424,6 +424,32 @@ FROM winp WHERE side = 0
 """
 
 
+def asof_tolerance_sql(
+    dialect: str, gap_us: int = GAP_US, tolerance_s: float = 21600.0
+) -> str:
+    """J1 + max-staleness: the as-of match nulls out when the matched feature
+    is older than the tolerance (DuckDB oracle for the engine's
+    tolerance_seconds option; the as-of match is the latest admissible
+    feature, so a stale match implies no admissible feature exists)."""
+    assert dialect == "duckdb", "spark side runs the engine API (asof_join_fast)"
+    tol_us = int(round(tolerance_s * 1e6))
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}, {probes_cte()},
+matched AS (
+  SELECT p.entity_id, p.probe_ts, {_epoch_us(dialect, 'p.probe_ts')} AS probe_us,
+         f.feat_us, f.session_id, f.n_turns, f.duration, f.dpl_total_i
+  FROM probes p ASOF LEFT JOIN feats f
+    ON p.entity_id = f.conv_id AND {_epoch_us(dialect, 'p.probe_ts')} > f.feat_us
+)
+SELECT entity_id, probe_ts,
+       CASE WHEN probe_us - feat_us <= {tol_us} THEN session_id END AS session_id,
+       CASE WHEN probe_us - feat_us <= {tol_us} THEN n_turns END    AS n_turns,
+       CASE WHEN probe_us - feat_us <= {tol_us} THEN duration END   AS duration,
+       CASE WHEN probe_us - feat_us <= {tol_us} THEN dpl_total_i END AS dpl_total_i
+FROM matched
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational operator coverage (A2/A10/A11, J2/J3, W5).
 # Same text in both dialects; money goes through DECIMAL(18,2) for exactness.

@@ -117,3 +117,37 @@ def test_fast_asof_tiny_batches(spark, data):
         assert got == expected
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_tolerance_all_strategies_agree_and_match_brute_force(spark, data):
+    """Max-staleness: all three strategies agree under tolerance, and every
+    row matches a brute-force 'latest fresh feature' recomputation."""
+    from flow_feature_spark.asof import asof_join_fast
+
+    feats, probes = data
+    tol = 900.0  # 15 min — forces a mix of kept and nulled matches
+    a = _collect(asof_join_union_window(feats, probes, strict=True,
+                                        tolerance_seconds=tol))
+    b = _collect(asof_join_merge(feats, probes, strict=True,
+                                 tolerance_seconds=tol))
+    c = _collect(asof_join_fast(feats, probes, strict=True,
+                                tolerance_seconds=tol))
+    assert a == b == c
+    nulls = sum(1 for v in a.values() if v[0] is None)
+    assert 0 < nulls < len(a)  # tolerance actually bites, but not everywhere
+
+    frows = [
+        (r["conv_id"], r["feature_ts"], r["session_id"], r["n_turns"], r["dpl_total"])
+        for r in feats.collect()
+    ]
+    for (ent, pts), got in a.items():
+        fresh = [
+            fr for fr in frows
+            if fr[0] == ent and fr[1] < pts
+            and (pts - fr[1]).total_seconds() <= tol
+        ]
+        if not fresh:
+            assert got == (None, None, None), (ent, pts, got)
+        else:
+            best = max(fresh, key=lambda fr: fr[1])
+            assert got == (best[2], best[3], best[4]), (ent, pts)
