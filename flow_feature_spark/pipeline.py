@@ -26,7 +26,10 @@ def transcript_features(
     """Transcript table -> per-(conv_id, session_id) 72-feature rows.
 
     engine='kernel' uses the Arrow-batched pandas kernel (reference-parity
-    rounding); engine='expr' uses the pure-Catalyst expression twin.
+    rounding); engine='fast' the fused batch kernel (fewest shuffles);
+    engine='exact-sql' the exact-domain pure-SQL twin (bit-equal to the
+    kernels, no Python boundary); engine='expr' the float Catalyst twin
+    (allclose only).
     """
     turns = normalize_turns(df, **normalize_kwargs)
     if engine == "fast":
@@ -36,6 +39,12 @@ def transcript_features(
 
         return attach_feature_ts(
             sessionize_and_extract_fast(turns, gap_seconds=gap_seconds, rounding=rounding)
+        )
+    if engine == "exact-sql":
+        from flow_feature_spark.features import session_features_exact_sql
+
+        return attach_feature_ts(
+            session_features_exact_sql(turns, gap_seconds=gap_seconds)
         )
     sess = assign_sessions(turns, gap_seconds=gap_seconds)
     if engine == "kernel":
