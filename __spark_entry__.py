@@ -181,6 +181,35 @@ def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "ts_us", "plen")
 
 
+def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 at scale: the bucketized two-pass sessionizer (no per-conv single
+    task anywhere in the plan) aggregated into the sessionize_counts payload —
+    shares sessionize_counts' DuckDB oracle, proving session-id identity.
+    bucket_turns=64 forces real cross-bucket boundary stitching at sf0.01."""
+    from flow_feature_spark.sessionize import assign_sessions_bucketed
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions_bucketed(
+        turns, gap_seconds=OQ.SESSION_GAP_S, bucket_turns=64
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    g = sess.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("turn_cnt"),
+        F.sum("plen").cast("bigint").alias("byte_cnt"),
+        F.min("ts_us").alias("min_us"),
+        F.max("ts_us").alias("max_us"),
+        F.count(F.when(F.col("is_fwd"), F.lit(1))).cast("bigint").alias("fwd_cnt"),
+    )
+    return g.select(
+        "conv_id", "session_id", "turn_cnt", "byte_cnt",
+        r6(F.col("min_us") / F.lit(1e6)).alias("start_sec"),
+        r6(F.col("max_us") / F.lit(1e6)).alias("end_sec"),
+        r6((F.col("max_us") - F.col("min_us")) / F.lit(1e6) + F.lit(0.0001)).alias("duration"),
+        r6(F.col("byte_cnt").cast("double") / F.col("turn_cnt")).alias("avg_len"),
+        "fwd_cnt",
+    )
+
+
 def q_session_features_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted partial-moment path: exact integer/decimal bucket moments merged
     with the kernel's float-op sequence -> bit-identical to the unsalted
@@ -381,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # transcript feature engine (SQL-templated pairs)
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
+        "sessionize_bucketed": q_sessionize_bucketed,
         "session_features_sql": _sql(OQ.feature_vector_sql),
         "lag_lead_backfill": _sql(OQ.lag_lead_backfill_sql),
         "cumulative_running": _sql(OQ.cumulative_sql),
@@ -427,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
     d = "duckdb"
     return {
         "sessionize_counts": OQ.sessionize_counts_sql(d),
+        "sessionize_bucketed": OQ.sessionize_counts_sql(d),
         "session_features_sql": OQ.feature_vector_sql(d),
         "lag_lead_backfill": OQ.lag_lead_backfill_sql(d),
         "cumulative_running": OQ.cumulative_sql(d),

@@ -41,7 +41,22 @@ from pyspark.sql import types as T
 
 
 def _tol_us(tolerance_seconds: float | None) -> int | None:
-    return None if tolerance_seconds is None else int(round(tolerance_seconds * 1e6))
+    """Validated tolerance in µs — identical contract for all three strategies.
+
+    A tolerance that rounds to 0 µs is rejected here (rather than letting
+    pd.merge_asof raise its own 'tolerance must be positive' only on the
+    merge strategy while the window strategies silently accept tol_us=0):
+    strategy parity means the same inputs raise the same error everywhere.
+    """
+    if tolerance_seconds is None:
+        return None
+    tol_us = int(round(tolerance_seconds * 1e6))
+    if tol_us < 1:
+        raise ValueError(
+            f"tolerance_seconds={tolerance_seconds} rounds to {tol_us} µs; "
+            "must be >= 1 µs (or None for unbounded lookback)"
+        )
+    return tol_us
 
 
 def _feature_value_cols(features: DataFrame, entity_col: str, ts_col: str) -> list[str]:

@@ -51,7 +51,9 @@ def _flag_bit(flags: Column, bit: int) -> Column:
 def session_features_exact_sql(
     turns: DataFrame,
     gap_seconds: float,
-    view_name: str = "ffs_turns_v",
+    view_name: str | None = None,
+    rounding: str = "r6",
+    reset_tool: str | None = None,
 ) -> DataFrame:
     """EXACT 72-feature extraction as pure Spark SQL — no Python anywhere.
 
@@ -63,9 +65,26 @@ def session_features_exact_sql(
     tests) while staying entirely inside whole-stage codegen / JVM. This is
     the no-Python-boundary scale path for clusters where the Arrow socket is
     the bottleneck; the fused kernel remains the fewer-shuffles option.
+
+    ``rounding``: "r6" (bit-identical to the kernel's r6 mode and the DuckDB
+    oracle) or "half_even" (``bround``, HALF_EVEN like Python round() — agrees
+    with the kernel's half_even mode to allclose; the two half-even
+    implementations round the shortest-decimal vs exact-binary representation
+    and can differ by 1e-6 on pathological ties). ``reset_tool``: a tool name
+    whose turns force-open a new session (same contract as
+    sessionize.assign_sessions).
     """
+    import uuid
+
     from flow_feature_spark.oracle_queries import feature_vector_sql
 
+    if view_name is None:
+        # session-global temp views are shared mutable state: a fixed name
+        # races when two pipelines are built on the same SparkSession before
+        # either executes (the second createOrReplaceTempView would rebind
+        # the first caller's plan) — suffix with a uuid per call
+        view_name = f"ffs_turns_v_{uuid.uuid4().hex}"
+    spark = turns.sparkSession
     turns.select(
         "conv_id", "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
     ).createOrReplaceTempView(view_name)
@@ -73,13 +92,24 @@ def session_features_exact_sql(
         f"turns AS (SELECT conv_id, turn_idx, ts_us, is_fwd, plen, win, flags, ihl "
         f"FROM {view_name})"
     )
+    reset_cond = None
+    if reset_tool is not None:
+        from flow_feature_spark.schema import TOOL_FLAG_BITS
+
+        bit = TOOL_FLAG_BITS[reset_tool]
+        reset_cond = f"(shiftright(flags, {bit}) & 1) = 1"
     sql = feature_vector_sql(
         "spark",
         gap_us=int(round(gap_seconds * 1_000_000)),
         turns_sql=turns_sql,
         include_bounds=True,
+        rounding=rounding,
+        reset_cond=reset_cond,
     )
-    out = turns.sparkSession.sql(sql)
+    out = spark.sql(sql)
+    # analysis captured the plan; drop the view so the session namespace
+    # doesn't accumulate per-call entries
+    spark.catalog.dropTempView(view_name)
     # kernel column order: keys, bounds, n_turns, features
     return out.select(
         "conv_id", "session_id", "session_start_ts", "session_end_ts",

@@ -127,8 +127,15 @@ def write_checkpoint(
     snapshot commit for the single-writer case.
     """
     spark = df.sparkSession
-    df.write.mode(mode).parquet(path)
-    n = spark.read.parquet(path).count()
+    # row count rides on the write itself via observe() — no second scan of
+    # the freshly-written output (at 10^12 rows the re-read was a full extra
+    # pass just to fill one manifest field)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(mode).parquet(path)
+    n = int(obs.get["rows"])
     manifest = {
         "job": job,
         "rows": n,
@@ -149,9 +156,15 @@ def write_checkpoint(
         out.write(bytearray(json.dumps(manifest, indent=2).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    # Hadoop FileSystem.rename/delete report failure by RETURNING FALSE, not
+    # throwing — an unchecked call would weaken the commit-marker contract to
+    # "may not exist even though write_checkpoint returned"
+    if fs.exists(final) and not fs.delete(final, False):
+        fs.delete(tmp, False)
+        raise IOError(f"checkpoint commit failed: could not replace {final}")
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(f"checkpoint commit failed: rename {tmp} -> {final} returned false")
     return manifest
 
 

@@ -34,12 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument(
         "--engine",
-        choices=["fast", "kernel", "expr", "exact-sql", "salted"],
+        choices=["fast", "kernel", "expr", "exact-sql", "salted", "adaptive"],
         default="fast",
         help="fast: fused Arrow kernel (fewest shuffles); kernel: grouped "
         "exact kernel; expr: float Catalyst twin (allclose); exact-sql: "
         "exact-domain pure SQL, no Python boundary; salted: skew-proof "
-        "partial moments",
+        "partial moments (bucketized sessionization, no per-conv task); "
+        "adaptive: skew router (fused for normal convs, salted for "
+        "mega-convs, grouped kernel for order-violating convs)",
     )
     p.add_argument("--rounding", choices=["half_even", "r6"], default="half_even")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
@@ -79,6 +81,19 @@ def run(argv: list[str] | None = None) -> int:
 
     # getOrCreate reuses an active session (e.g. pytest's); only stop what
     # this run created
+    # resolve the EFFECTIVE engine up front so the checkpoint fingerprint
+    # records what actually ran, never a silently-substituted path: the fused
+    # kernel cannot force-reset sessions mid-stream, so fast + --reset-tool
+    # degrades (loudly) to the grouped exact kernel.
+    effective_engine = args.engine
+    if args.engine == "fast" and args.reset_tool is not None:
+        effective_engine = "kernel"
+        print(
+            "warning: --engine fast does not support --reset-tool; "
+            "running the grouped exact kernel instead",
+            file=sys.stderr,
+        )
+
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(
         app_name=f"ffs_job_{args.mode}",
@@ -112,22 +127,43 @@ def run(argv: list[str] | None = None) -> int:
             return assign_sessions(
                 turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool
             ).select("conv_id", "turn_idx", "session_id", "ts")
-        if args.engine == "fast" and args.reset_tool is None:
+        if effective_engine == "fast":
             feats = sessionize_and_extract_fast(
                 turns, gap_seconds=args.gap_seconds, rounding=args.rounding
             )
-        elif args.engine == "exact-sql" and args.reset_tool is None:
+        elif effective_engine == "exact-sql":
             from flow_feature_spark.features import session_features_exact_sql
 
-            feats = session_features_exact_sql(turns, gap_seconds=args.gap_seconds)
+            # rounding + reset-tool thread all the way through (the SQL engine
+            # emits bround for half_even; r6 stays bit-identical to the kernel)
+            feats = session_features_exact_sql(
+                turns, gap_seconds=args.gap_seconds,
+                rounding=args.rounding, reset_tool=args.reset_tool,
+            )
+        elif effective_engine == "adaptive":
+            from flow_feature_spark.salted import adaptive_session_features
+
+            if args.reset_tool is not None:
+                raise SystemExit("--engine adaptive does not support --reset-tool")
+            feats = adaptive_session_features(
+                turns, gap_seconds=args.gap_seconds, rounding=args.rounding
+            )
+        elif effective_engine == "salted":
+            # the salted feature stage already requires ts non-decreasing in
+            # turn_idx (salted.py precondition), so the bucketized sessionizer
+            # adds no new assumption — and removes the per-conv window task
+            from flow_feature_spark.sessionize import assign_sessions_bucketed
+
+            sess = assign_sessions_bucketed(
+                turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool
+            )
+            feats = salted_session_features(sess, rounding=args.rounding)
         else:
             sess = assign_sessions(
                 turns, gap_seconds=args.gap_seconds, reset_tool=args.reset_tool
             )
-            if args.engine == "expr":
+            if effective_engine == "expr":
                 feats = session_features_expr(sess)
-            elif args.engine == "salted":
-                feats = salted_session_features(sess, rounding=args.rounding)
             else:
                 feats = extract_session_features(sess, rounding=args.rounding)
         feats = attach_feature_ts(feats)
@@ -144,7 +180,7 @@ def run(argv: list[str] | None = None) -> int:
         fingerprint = "|".join([
             args.input,
             str(args.gap_seconds),
-            args.engine,
+            effective_engine,
             args.rounding,
             f"hk={args.drop_housekeeping}",
             f"ps={args.per_source}",

@@ -66,6 +66,22 @@ def r6(x: str) -> str:
     return f"(floor(({x})*1e6 + 0.5)/1e6)"
 
 
+def _rnd_fn(dialect: str, rounding: str):
+    """Rounding expression factory for the feature-vector SQL.
+
+    "r6" is the cross-engine-exact default (identical text in both dialects,
+    used by every oracle). "half_even" maps to Spark ``bround`` — the
+    engine-side HALF_EVEN mode job.py exposes; it is allclose-grade vs the
+    Python-round kernel (shortest-decimal vs exact-binary representation can
+    differ on 1e-6-grid ties), so it is engine-only, never an oracle."""
+    if rounding == "r6":
+        return r6
+    if rounding == "half_even":
+        assert dialect == "spark", "half_even rounding is engine-side only"
+        return lambda x: f"bround({x}, 6)"
+    raise ValueError(f"unknown rounding mode: {rounding}")
+
+
 def turns_cte(dialect: str) -> str:
     """events -> transcript-shaped turns (the shared base CTE); time in µs."""
     return f"""
@@ -86,7 +102,11 @@ turns AS (
 )"""
 
 
-def sess_cte(gap_us: int = GAP_US) -> str:
+def sess_cte(gap_us: int = GAP_US, reset_cond: str | None = None) -> str:
+    """Gap sessionization CTE. ``reset_cond``: extra SQL predicate over the
+    turns columns that force-opens a new session (the engine's reset_tool —
+    sessionize.assign_sessions's SYN-reset analog, flow_basic.py:70-72)."""
+    reset = f" OR ({reset_cond})" if reset_cond else ""
     return f"""
 gapped AS (
   SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY conv_id
@@ -94,7 +114,7 @@ gapped AS (
   FROM turns
 ),
 sess AS (
-  SELECT *, cast(sum(CASE WHEN prev_gap_us IS NULL OR prev_gap_us > {gap_us}
+  SELECT *, cast(sum(CASE WHEN prev_gap_us IS NULL OR prev_gap_us > {gap_us}{reset}
                      THEN 1 ELSE 0 END)
               OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
@@ -118,7 +138,7 @@ def _std_from_exact(sum_d: str, sumsq_d: str, n: str, scale: str = "1.0") -> str
     return f"(sqrt({var})/{scale})"
 
 
-def _agg_block(dialect: str) -> tuple[str, str]:
+def _agg_block(dialect: str, rnd=r6) -> tuple[str, str]:
     """(raw exact-domain agg list, final rounded-stat list) for 72 features."""
     raw: list[str] = [
         "count(*) AS n",
@@ -143,11 +163,21 @@ def _agg_block(dialect: str) -> tuple[str, str]:
             col = "gap_all_us" if (family == "iat" and dirn == "d") else x
             p = f"{dirn}{family}"
             if is_us:
+                # the square runs in the SAME wide domain the deviation was
+                # computed in (decimal(38,0) in Spark, int128 in DuckDB) — a
+                # down-cast to decimal(19,0) here would silently NULL any
+                # |dev| >= 1e19 row out of the sum in non-ANSI Spark while
+                # DuckDB kept it exact. Remaining (documented) bound, like
+                # kernel_fast's int64 sumsq bound: per-session sum(dev^2) must
+                # stay below 1e38 (Spark decimal(38,0) sum; DuckDB raises
+                # loudly on int128 overflow rather than diverging silently).
                 dev = "dev_all" if dirn == "d" else "dev_dir"
-                sq_term = (
-                    f"sum(cast({dev} AS decimal(19,0)) * cast({dev} AS decimal(19,0)))"
-                    f" {filt} AS {p}_devsq"
-                )
+                if dialect == "spark":
+                    prod = (f"cast({dev} AS decimal(38,0)) * "
+                            f"cast({dev} AS decimal(38,0))")
+                else:
+                    prod = f"{dev} * {dev}"
+                sq_term = f"sum({prod}) {filt} AS {p}_devsq"
             else:
                 sq_term = f"sum({col}*{col}) {filt} AS {p}_sumsq"
             raw += [
@@ -177,34 +207,34 @@ def _agg_block(dialect: str) -> tuple[str, str]:
     fin: list[str] = []
 
     def stats4(p: str, scale: str, centered: bool) -> list[str]:
-        mean = r6(f"cast({p}_sum AS double)/{p}_cnt/{scale}")
+        mean = rnd(f"cast({p}_sum AS double)/{p}_cnt/{scale}")
         if centered:
             # exact centered sum of squares: S = sum((x*n - sum)^2),
             # std = sqrt(double(S)/n^3)/scale — matches kernel._exact_stats4
             n = f"{p}_cnt"
-            std = r6(f"(sqrt(cast({p}_devsq AS double)/{n}/{n}/{n})/{scale})")
+            std = rnd(f"(sqrt(cast({p}_devsq AS double)/{n}/{n}/{n})/{scale})")
         else:
-            std = r6(_std_from_exact(f"{p}_sum", f"{p}_sumsq", f"{p}_cnt", scale))
+            std = rnd(_std_from_exact(f"{p}_sum", f"{p}_sumsq", f"{p}_cnt", scale))
         return [
             f"coalesce({mean}, 0.0) AS {p}_mean",
-            f"coalesce({r6(f'cast({p}_rmin AS double)/{scale}')}, 0.0) AS {p}_min",
-            f"coalesce({r6(f'cast({p}_rmax AS double)/{scale}')}, 0.0) AS {p}_max",
+            f"coalesce({rnd(f'cast({p}_rmin AS double)/{scale}')}, 0.0) AS {p}_min",
+            f"coalesce({rnd(f'cast({p}_rmax AS double)/{scale}')}, 0.0) AS {p}_max",
             f"CASE WHEN {p}_cnt = 0 THEN 0.0 ELSE {std} END AS {p}_std",
         ]
 
     for d in "fbd":
         fin += stats4(f"{d}iat", "1e6", centered=True)
-    fin.append(f"{r6('(max_us - min_us)/1e6 + 0.0001')} AS duration")
+    fin.append(f"{rnd('(max_us - min_us)/1e6 + 0.0001')} AS duration")
     for family in ("win", "pl"):
         for d in "fbd":
             p = f"{d}{family}"
-            fin.append(f"coalesce({r6(f'cast({p}_sum AS double)')}, 0.0) AS {p}_total")
+            fin.append(f"coalesce({rnd(f'cast({p}_sum AS double)')}, 0.0) AS {p}_total")
             fin += stats4(p, "1.0", centered=False)
     fin += [
         "cast(fpnum AS double) AS fpnum",
         "cast(bpnum AS double) AS bpnum",
         "cast(n AS double) AS dpnum",
-        f"{r6('cast(bpnum AS double)/greatest(fpnum, 1)')} AS bfpnum_rate",
+        f"{rnd('cast(bpnum AS double)/greatest(fpnum, 1)')} AS bfpnum_rate",
     ]
     for name in flag_names:
         fin.append(f"cast(raw_{name} AS double) AS {name}")
@@ -228,6 +258,8 @@ def feature_vector_sql(
     gap_us: int = GAP_US,
     turns_sql: str | None = None,
     include_bounds: bool = False,
+    rounding: str = "r6",
+    reset_cond: str | None = None,
 ) -> str:
     """Full 72-feature per-(conv_id, session_id) query.
 
@@ -237,8 +269,11 @@ def feature_vector_sql(
     pipeline JVM-only over real transcript tables
     (features.session_features_exact_sql). ``include_bounds`` appends
     session_start_ts/session_end_ts (the kernel's metadata columns).
+    ``rounding``/``reset_cond``: see _rnd_fn / sess_cte — engine-side knobs;
+    every oracle keeps the r6 / no-reset defaults.
     """
-    raw, fin = _agg_block(dialect)
+    rnd = _rnd_fn(dialect, rounding)
+    raw, fin = _agg_block(dialect, rnd)
     src = turns_sql if turns_sql is not None else turns_cte(dialect)
     bounds = (
         "\n  cast(min_us AS double)/1e6 AS session_start_ts,"
@@ -252,7 +287,7 @@ def feature_vector_sql(
     # HUGEINT (int128) in DuckDB — identical integer values either way
     wide = "decimal(19,0)" if dialect == "spark" else "HUGEINT"
     return f"""
-WITH {src}, {sess_cte(gap_us)},
+WITH {src}, {sess_cte(gap_us, reset_cond)},
 gaps AS (
   SELECT *,
          ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
@@ -290,22 +325,22 @@ SELECT conv_id, session_id, cast(n AS bigint) AS n_turns,{bounds}
   bwin_total, bwin_mean, bwin_min, bwin_max, bwin_std,
   dwin_total, dwin_mean, dwin_min, dwin_max, dwin_std,
   fpnum, bpnum, dpnum, bfpnum_rate,
-  {r6('fpnum/duration')} AS fpnum_s,
-  {r6('bpnum/duration')} AS bpnum_s,
-  {r6('fpnum/duration')} + {r6('bpnum/duration')} AS dpnum_s,
+  {rnd('fpnum/duration')} AS fpnum_s,
+  {rnd('bpnum/duration')} AS bpnum_s,
+  {rnd('fpnum/duration')} + {rnd('bpnum/duration')} AS dpnum_s,
   fpl_total, fpl_mean, fpl_min, fpl_max, fpl_std,
   bpl_total, bpl_mean, bpl_min, bpl_max, bpl_std,
   dpl_total, dpl_mean, dpl_min, dpl_max, dpl_std,
-  {r6('bpl_total/greatest(fpl_total, 1.0)')} AS bfpl_rate,
-  {r6('fpl_total/duration')} AS fpl_s,
-  {r6('bpl_total/duration')} AS bpl_s,
-  {r6('fpl_total/duration')} + {r6('bpl_total/duration')} AS dpl_s,
+  {rnd('bpl_total/greatest(fpl_total, 1.0)')} AS bfpl_rate,
+  {rnd('fpl_total/duration')} AS fpl_s,
+  {rnd('bpl_total/duration')} AS bpl_s,
+  {rnd('fpl_total/duration')} + {rnd('bpl_total/duration')} AS dpl_s,
   fin_cnt, syn_cnt, rst_cnt, pst_cnt, ack_cnt, urg_cnt, cwe_cnt, ece_cnt,
   fwd_pst_cnt, fwd_urg_cnt, bwd_pst_cnt, bwd_urg_cnt,
   fp_hdr_len, bp_hdr_len, fp_hdr_len + bp_hdr_len AS dp_hdr_len,
-  {r6('fp_hdr_len/greatest(fpl_total, 1.0)')} AS f_ht_len,
-  {r6('bp_hdr_len/greatest(bpl_total, 1.0)')} AS b_ht_len,
-  {r6('(fp_hdr_len + bp_hdr_len)/greatest(dpl_total, 1.0)')} AS d_ht_len
+  {rnd('fp_hdr_len/greatest(fpl_total, 1.0)')} AS f_ht_len,
+  {rnd('bp_hdr_len/greatest(bpl_total, 1.0)')} AS b_ht_len,
+  {rnd('(fp_hdr_len + bp_hdr_len)/greatest(dpl_total, 1.0)')} AS d_ht_len
 FROM fin
 """
 

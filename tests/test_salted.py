@@ -69,3 +69,44 @@ def test_adaptive_routing_matches_fused(spark, sess):
     assert set(base) == set(adaptive)
     for k in base:
         np.testing.assert_array_equal(adaptive[k], base[k])
+
+
+def test_adaptive_routes_order_violators_to_exact_kernel(spark):
+    """A hot conversation whose ts is NOT non-decreasing in turn_idx violates
+    the bucketized precondition (salted.py:23-27): the runtime guard must
+    detect it and route it through the order-agnostic grouped kernel, so the
+    adaptive output stays bit-equal to the plain fused pipeline anyway."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.salted import adaptive_session_features
+    from flow_feature_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, n_convs=30, turns_mean=20, hot_factor=60)
+    turns = normalize_turns(tr)
+    # find the hot conv and REVERSE its turn_idx (ts ordering now decreasing
+    # in turn_idx — maximal violation of the bucket-stitch precondition)
+    hot_conv = (
+        turns.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+    )
+    mx = turns.filter(F.col("conv_id") == hot_conv).agg(
+        F.max("turn_idx")
+    ).first()[0]
+    shuffled = turns.withColumn(
+        "turn_idx",
+        F.when(
+            F.col("conv_id") == hot_conv, F.lit(mx) - F.col("turn_idx")
+        ).otherwise(F.col("turn_idx")).cast("int"),
+    ).cache()
+    base = _collect(
+        sessionize_and_extract_fast(shuffled, 1800.0, rounding="half_even")
+    )
+    adaptive = _collect(
+        adaptive_session_features(
+            shuffled, 1800.0, rounding="half_even", hot_turn_threshold=500,
+            bucket_turns=64,
+        )
+    )
+    assert set(base) == set(adaptive)
+    for k in base:
+        np.testing.assert_array_equal(adaptive[k], base[k])
