@@ -348,11 +348,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return dd.minhash_signatures(_docs(spark, sf_dir))
+    # test-scale k (production default is k=128/b=16, dedup.py:32-40): the
+    # oracle below mirrors these exact explicit parameters so the DuckDB
+    # side stays cheap at sf0.01
+    return dd.minhash_signatures(_docs(spark, sf_dir), k=8)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return dd.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return dd.minhash_lsh_candidates(_docs(spark, sf_dir), k=8, bands=4)
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -484,8 +487,8 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": OD.text_analysis_sql(d),
         "dedup_exact": OD.dedup_exact_sql(d),
         "ngram_jaccard": OD.ngram_jaccard_sql(d),
-        "minhash_signatures": OD.minhash_sql(d),
-        "minhash_lsh_pairs": OD.minhash_lsh_pairs_sql(d),
+        "minhash_signatures": OD.minhash_sql(d, k=8),
+        "minhash_lsh_pairs": OD.minhash_lsh_pairs_sql(d, k=8, bands=4),
         "simhash_docs": OD.simhash_sql(d),
         "simhash_pairs": OD.simhash_pairs_sql(d),
         "cosine_topk": OD.cosine_topk_sql(d),

@@ -174,9 +174,11 @@ def resume_or_compute(
     job: str,
     compute,
     input_fingerprint: str = "",
+    metrics: KernelMetrics | None = None,
 ) -> tuple[DataFrame, bool]:
     """Return (df, resumed). Valid manifest with matching job+fingerprint ->
-    read the checkpoint; otherwise run ``compute()`` and commit it."""
+    read the checkpoint; otherwise run ``compute()`` and commit it (with the
+    accumulator bundle's per-partition lineage in the manifest, if given)."""
     m = read_manifest(path, spark)
     if (
         m is not None
@@ -185,7 +187,7 @@ def resume_or_compute(
     ):
         return spark.read.parquet(path), True
     df = compute()
-    write_checkpoint(df, path, job, input_fingerprint)
+    write_checkpoint(df, path, job, input_fingerprint, metrics=metrics)
     return spark.read.parquet(path), False
 
 

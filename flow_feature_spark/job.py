@@ -25,10 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--mode",
-        choices=["features", "sessionize", "asof"],
+        choices=["features", "sessionize", "asof", "stream"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
-        "asof: attach vectors to --probes",
+        "asof: attach vectors to --probes; stream: readStream the input "
+        "directory and emit 72-vectors per closed session "
+        "(applyInPandasWithState; requires --checkpoint for the streaming "
+        "checkpointLocation)",
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
@@ -61,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "flow_basic SYN start_time reset analog)")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--stream-timeout", choices=["none", "event_time"],
+                   default="event_time",
+                   help="stream mode: open-tail flush policy (event_time = "
+                   "flush when the watermark passes last-turn + gap)")
+    p.add_argument("--stream-watermark", default="0 seconds",
+                   help="stream mode: late-data watermark delay")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="stream mode: micro-batch size in files")
     return p
 
 
@@ -101,6 +112,52 @@ def run(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
 
+    if args.mode == "stream":
+        # the W7 path as an OPERABLE job (not just a tested module): bounded
+        # availableNow run over whatever files exist, resumable from the
+        # streaming checkpoint — rerunning picks up only new files
+        if not args.checkpoint:
+            raise SystemExit("--mode stream requires --checkpoint "
+                             "(streaming checkpointLocation)")
+        from flow_feature_spark.streaming import stateful_session_features
+
+        schema = spark.read.parquet(args.input).schema
+        reader = spark.readStream.schema(schema)
+        if args.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        turns = normalize_turns(reader.parquet(args.input))
+        feats = stateful_session_features(
+            turns,
+            gap_seconds=args.gap_seconds,
+            rounding=args.rounding,
+            timeout=args.stream_timeout,
+            watermark=args.stream_watermark,
+        )
+        writer = (
+            feats.writeStream.outputMode("append")
+            .format(args.format)
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+        )
+        if args.format == "csv":
+            writer = writer.option("header", str(args.csv_header).lower())
+        q = writer.start()
+        q.awaitTermination()
+        print(f"wrote {args.output} (stream, checkpoint {args.checkpoint})")
+        if owns_session:
+            spark.stop()
+        return 0
+
+    # per-partition lineage metrics ride on accumulators inside the Arrow
+    # kernel and land in the checkpoint manifest (north rule: "resumable from
+    # checkpoint with per-partition lineage + metrics")
+    kernel_metrics = None
+    if args.checkpoint and effective_engine == "fast" and args.mode == "features":
+        from flow_feature_spark.io import KernelMetrics
+
+        kernel_metrics = KernelMetrics.create(spark)
+
     def compute():
         df = spark.read.parquet(args.input)
         if args.per_source and args.mode == "features":
@@ -129,7 +186,8 @@ def run(argv: list[str] | None = None) -> int:
             ).select("conv_id", "turn_idx", "session_id", "ts")
         if effective_engine == "fast":
             feats = sessionize_and_extract_fast(
-                turns, gap_seconds=args.gap_seconds, rounding=args.rounding
+                turns, gap_seconds=args.gap_seconds, rounding=args.rounding,
+                metrics=kernel_metrics,
             )
         elif effective_engine == "exact-sql":
             from flow_feature_spark.features import session_features_exact_sql
@@ -189,7 +247,7 @@ def run(argv: list[str] | None = None) -> int:
         ])
         out, resumed = resume_or_compute(
             spark, args.checkpoint, args.mode, compute,
-            input_fingerprint=fingerprint,
+            input_fingerprint=fingerprint, metrics=kernel_metrics,
         )
         print(f"checkpoint {'resumed' if resumed else 'computed'}: {out.count()} rows")
     else:

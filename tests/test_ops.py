@@ -255,3 +255,50 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     for x in toks[1:]:
         acc = (acc * ROLL_BASE + x) % ROLL_MOD
     assert rows[1] == acc
+
+
+# --- injectable codec: swapping the stub for a "real" decoder needs no
+# plumbing change (VERDICT r2 item 5) -----------------------------------------
+
+def test_codec_injection_needs_no_plumbing_change(spark, docs):
+    # fakes defined IN the test body: cloudpickle ships nested functions by
+    # value (module-level test functions pickle by reference, and executors
+    # cannot import the tests package)
+    def _fake_real_decoder(payload):
+        """Stands in for a PIL-backed decoder: different output values than
+        the stub, same contract (byte_len, header_byte, w, h, n_frames)."""
+        if payload is None or len(payload) == 0:
+            return 0, -1, 0, 0, 0
+        return len(payload), payload[-1], 1024, 768, 42
+
+    def _fake_real_resizer(payload, width, height):
+        return bytes([width % 256, height % 256]) * ((width * height) // 2)
+
+    def _fake_real_framer(payload):
+        return [payload[:3], payload[3:6], payload[6:9]]
+
+    media = mm.documents_as_media(docs.limit(20))
+
+    dec = mm.decode_media(media, decoder=_fake_real_decoder).collect()
+    assert len(dec) == 20
+    assert all(r["fake_width"] == 1024 and r["n_frames"] == 42 for r in dec)
+    # header_byte comes from the injected decoder (last byte), not the stub's
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(r["header_byte"] == raw[r["doc_id"]][-1] for r in dec if raw[r["doc_id"]])
+
+    rez = mm.resize_media(media, width=8, height=4, resizer=_fake_real_resizer).collect()
+    assert all(bytes(r["resized"]) == bytes([8, 4]) * 16 for r in rez)
+
+    fr = mm.sample_frames(media, every_n=2, framer=_fake_real_framer).collect()
+    # 3 frames per doc, every 2nd -> frame_idx {0, 2}
+    assert {r["frame_idx"] for r in fr} == {0, 2}
+    assert all(r["frame_len"] <= 3 for r in fr)
+
+
+def test_default_codec_unchanged_by_injection_support(spark, docs):
+    """The no-arg paths must still run the deterministic stubs (oracle
+    contract for multimodal_decode / frame_sample driver queries)."""
+    media = mm.documents_as_media(docs.limit(10))
+    dec = mm.decode_media(media).collect()
+    for r in dec:
+        assert r["n_frames"] == 1 + r["byte_len"] % 16

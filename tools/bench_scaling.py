@@ -23,8 +23,10 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [2, 8, 32]
-WARMUPS = 2
-RUNS = 3
+# at the 30M-turn input (VERDICT r2 item 2: jobs are 30-300 s, jitter-proof)
+# one warm-up suffices; the 3.5M-turn default keeps 2
+WARMUPS = int(os.environ.get("SCALING_WARMUPS", "2"))
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 
 WORKER = """
 import json, sys, time

@@ -89,6 +89,23 @@ def main() -> int:
         re.search(r"windowspecdefinition\(conv_id#\d+, session_id#\d+L, ts_us", ps) is None,
     )
 
+    # 1c. bucketized sessionizer: the big-side exchange must be on
+    # (conv, bucket) and NO per-row window may be partitioned by conv alone
+    # (that would be the single-task-per-conversation straggler this design
+    # removes; only the tiny per-bucket SUMMARY window runs per conv)
+    from flow_feature_spark.sessionize import assign_sessions_bucketed
+
+    bk = assign_sessions_bucketed(turns, 1800.0, bucket_turns=64)
+    pb = plan_of(bk, "simple")
+    check(
+        "bucketized sessionizer: turns exchange on (conv, bucket)",
+        re.search(r"Exchange hashpartitioning\(conv_id#\d+, __bkt", pb) is not None,
+    )
+    check(
+        "bucketized sessionizer: no conv-only window over turn rows",
+        re.search(r"windowspecdefinition\(conv_id#\d+, ts_us", pb) is None,
+    )
+
     # 2. predicate pushdown on a filtered scan
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
