@@ -36,6 +36,34 @@ def main() -> int:
     spark = get_spark(app_name="minhash_quality", master="local[32]",
                       shuffle_partitions=32)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_note = "near-dup-heavy testdata corpus"
+    if os.environ.get("MINHASH_SYNTH_MIDBAND"):
+        # the testdata corpus's similarity distribution is bimodal (J ~ 1 or
+        # J ~ 0), which cannot exercise the LSH threshold curve — build a
+        # mid-band corpus: each base doc gets one variant with a seeded
+        # fraction of words replaced, spreading exact Jaccard over (0.1, 1)
+        import hashlib
+
+        rows = docs.select("doc_id", "text").limit(400).collect()
+        out_rows = []
+        for r in rows:
+            words = (r["text"] or "").split()
+            if len(words) < 30:
+                continue
+            out_rows.append((int(r["doc_id"]), " ".join(words)))
+            frac = (int(r["doc_id"]) % 7) / 10.0  # 0.0 .. 0.6
+            def _h(i: int) -> str:
+                return hashlib.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()
+
+            # md5-derived choice, NOT hash() (PYTHONHASHSEED-salted)
+            mut = [
+                (_h(i)[:8] if int(_h(i)[8:12], 16) % 1000 < frac * 1000 else w)
+                for i, w in enumerate(words)
+            ]
+            out_rows.append((int(r["doc_id"]) + 10_000_000, " ".join(mut)))
+        docs = spark.createDataFrame(out_rows, "doc_id long, text string")
+        corpus_note = (f"synthetic mid-band corpus ({len(out_rows)} docs: "
+                       "each base + a variant with 0-60% of words replaced)")
     n_docs = docs.count()
 
     truth = {
@@ -68,8 +96,8 @@ def main() -> int:
     md = [
         f"# MinHash LSH candidate quality ({stamp})",
         "",
-        f"Input: {sf_dir} documents ({n_docs:,} docs; the testdata corpus is "
-        "near-dup-heavy by design). Ground truth = exact word-3-gram Jaccard "
+        f"Input: {sf_dir} documents ({n_docs:,} docs; {corpus_note}). "
+        "Ground truth = exact word-3-gram Jaccard "
         "over every co-shingled pair. precision@t counts candidates whose "
         "exact Jaccard >= t; recall@t counts them against all true pairs "
         ">= t.",
