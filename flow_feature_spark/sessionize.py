@@ -101,6 +101,11 @@ def assign_sessions_bucketed(
     hash-identical to ``assign_sessions`` (asserted in tests and shared with
     its DuckDB oracle via the sessionize_bucketed driver query).
 
+    Reference basis: the reference's per-flow sort + single-pass walk
+    (flow.py:139, flow_basic.py:70-76) assumes a whole flow fits one worker;
+    this is that walk re-derived as a two-level scan so no single task ever
+    owns a whole key — the north rule's explicit-skew-handling requirement.
+
     Precondition (same contract as salted.py:23-27, checked by
     ``precondition_violations``): within a conversation ts is non-decreasing
     in turn_idx, so contiguous turn_idx ranges are contiguous time ranges and
