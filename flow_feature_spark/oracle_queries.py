@@ -167,14 +167,26 @@ def _agg_block(dialect: str, rnd=r6) -> tuple[str, str]:
                 # computed in (decimal(38,0) in Spark, int128 in DuckDB) — a
                 # down-cast to decimal(19,0) here would silently NULL any
                 # |dev| >= 1e19 row out of the sum in non-ANSI Spark while
-                # DuckDB kept it exact. Remaining (documented) bound, like
-                # kernel_fast's int64 sumsq bound: per-session sum(dev^2) must
-                # stay below 1e38 (Spark decimal(38,0) sum; DuckDB raises
-                # loudly on int128 overflow rather than diverging silently).
+                # DuckDB kept it exact. Exactness envelope, like kernel_fast's
+                # int64 sumsq bound: |dev| < 1e19 (decimal(38,0) product
+                # representability) and per-group sum(dev^2) < 1e38. Beyond
+                # it, non-ANSI Spark would silently NULL terms out of the sum
+                # — so both walls are guarded with raise_error (the sum wall
+                # via the devsq-NULL-with-nonzero-count check in stats4),
+                # matching DuckDB, which raises on int128 overflow on its
+                # own. A failing group must route through the grouped kernel
+                # (Python-int accumulation, unbounded).
                 dev = "dev_all" if dirn == "d" else "dev_dir"
                 if dialect == "spark":
-                    prod = (f"cast({dev} AS decimal(38,0)) * "
-                            f"cast({dev} AS decimal(38,0))")
+                    prod = (
+                        f"(CASE WHEN {dev} IS NULL "  # NULL dev (first same-direction turn) must
+        # stay a NULL product the sum skips, not fall into raise_error
+                        f"OR abs({dev}) < 10000000000000000000 THEN "
+                        f"cast({dev} AS decimal(38,0)) * cast({dev} AS decimal(38,0)) "
+                        f"ELSE cast(raise_error('{p}: |centered dev| >= 1e19 "
+                        f"exceeds the exact decimal(38,0) domain — use the "
+                        f"grouped kernel for this data') AS decimal(38,0)) END)"
+                    )
                 else:
                     prod = f"{dev} * {dev}"
                 sq_term = f"sum({prod}) {filt} AS {p}_devsq"
@@ -208,18 +220,30 @@ def _agg_block(dialect: str, rnd=r6) -> tuple[str, str]:
 
     def stats4(p: str, scale: str, centered: bool) -> list[str]:
         mean = rnd(f"cast({p}_sum AS double)/{p}_cnt/{scale}")
+        overflow = ""
         if centered:
             # exact centered sum of squares: S = sum((x*n - sum)^2),
             # std = sqrt(double(S)/n^3)/scale — matches kernel._exact_stats4
             n = f"{p}_cnt"
             std = rnd(f"(sqrt(cast({p}_devsq AS double)/{n}/{n}/{n})/{scale})")
+            if dialect == "spark":
+                # decimal(38,0) SUM overflow is a silent NULL in non-ANSI
+                # Spark; with the per-product guard in place, devsq NULL
+                # alongside a nonzero gap count can ONLY mean sum overflow —
+                # fail as loudly as DuckDB's int128 does
+                overflow = (
+                    f"WHEN {p}_devsq IS NULL AND {p}_cnt > 0 THEN "
+                    f"cast(raise_error('{p}: exact devsq sum overflowed "
+                    f"decimal(38,0) — use the grouped kernel for this data') "
+                    f"AS double) "
+                )
         else:
             std = rnd(_std_from_exact(f"{p}_sum", f"{p}_sumsq", f"{p}_cnt", scale))
         return [
             f"coalesce({mean}, 0.0) AS {p}_mean",
             f"coalesce({rnd(f'cast({p}_rmin AS double)/{scale}')}, 0.0) AS {p}_min",
             f"coalesce({rnd(f'cast({p}_rmax AS double)/{scale}')}, 0.0) AS {p}_max",
-            f"CASE WHEN {p}_cnt = 0 THEN 0.0 ELSE {std} END AS {p}_std",
+            f"CASE WHEN {p}_cnt = 0 THEN 0.0 {overflow}ELSE {std} END AS {p}_std",
         ]
 
     for d in "fbd":

@@ -100,3 +100,73 @@ def test_exact_sql_concurrent_views_do_not_collide(spark):
     k2 = extract_session_features(assign_sessions(t2, 1800.0), rounding="r6").count()
     assert (n1, n2) == (k1, k2)
     assert n1 != n2  # the two inputs genuinely differ
+
+
+def _wide_turns(spark, big_gap_us: int, n_big: int = 1, n_zero: int = 99):
+    """One conv, one session: n_zero+1 turns at ts 0 with zero gaps, then
+    n_big turns each big_gap_us apart — drives the centered deviation
+    dev = gap*n - sum into chosen magnitude bands."""
+    rows = []
+    idx = 0
+    for _ in range(n_zero + 1):
+        rows.append(("wide", idx, 0, True, 10, 2, 0, 4)); idx += 1
+    ts = 0
+    for _ in range(n_big):
+        ts += big_gap_us
+        rows.append(("wide", idx, ts, True, 10, 2, 0, 4)); idx += 1
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ts_us long, is_fwd boolean, "
+        "plen long, win long, flags int, ihl long",
+    )
+
+
+GAP_HUGE_S = 1e12  # keep everything in one session
+
+
+def test_exact_sql_wide_dev_band_bit_equal(spark):
+    """|dev| in (2^63, 1e19) — the band the round-2 decimal(19,0) down-cast
+    silently NULLed out of the sum — must now compute exactly: bit-equal to
+    the Python-int grouped kernel. Here dev = 99 * 9.5e16 = 9.405e18."""
+    turns = _wide_turns(spark, big_gap_us=95_000_000_000_000_000)
+    sql_side = _collect(session_features_exact_sql(turns, gap_seconds=GAP_HUGE_S))
+    kern = _collect(
+        extract_session_features(
+            assign_sessions(turns, gap_seconds=GAP_HUGE_S), rounding="r6"
+        )
+    )
+    assert set(sql_side) == set(kern)
+    for k in kern:
+        np.testing.assert_array_equal(sql_side[k], kern[k])
+    # the std is genuinely nonzero (the band was being dropped before)
+    assert kern[("wide", 1)][list(["start", "end", "n"] + FEATURE_NAMES).index("diat_std")] > 0
+
+
+def _expect_raise(df):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with _pytest.raises((SparkRuntimeException, Exception)) as ei:
+        df.collect()
+    assert "grouped kernel" in str(ei.value)
+
+
+def test_exact_sql_product_wall_raises_not_silent(spark):
+    """|dev| >= 1e19: decimal(38,0) cannot represent dev^2 — the engine must
+    FAIL LOUDLY (raise_error), never silently drop the row from the sum the
+    way non-ANSI overflow-NULL would. dev = 99 * 2e17 = 1.98e19."""
+    turns = _wide_turns(spark, big_gap_us=200_000_000_000_000_000)
+    _expect_raise(session_features_exact_sql(turns, gap_seconds=GAP_HUGE_S))
+    # the documented route for such data still works: Python-int kernel
+    out = extract_session_features(
+        assign_sessions(turns, gap_seconds=GAP_HUGE_S), rounding="r6"
+    ).collect()
+    assert len(out) == 1 and out[0]["diat_std"] > 0
+
+
+def test_exact_sql_sum_wall_raises_not_silent(spark):
+    """Each dev^2 representable but their SUM overflows decimal(38,0):
+    two devs of 98 * 1.02e17 = 9.996e18 -> sum(dev^2) ~ 2e38 >= 1e38.
+    Must raise (devsq NULL with nonzero gap count), not emit a wrong std."""
+    turns = _wide_turns(spark, big_gap_us=102_000_000_000_000_000, n_big=2)
+    _expect_raise(session_features_exact_sql(turns, gap_seconds=GAP_HUGE_S))
