@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "flow_basic SYN start_time reset analog)")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--stream-engine", choices=["features", "counts"],
+                   default="features",
+                   help="stream mode: features = full 72-vector per closed "
+                   "session (applyInPandasWithState); counts = native "
+                   "session_window incremental aggregates (basic edition)")
     p.add_argument("--stream-timeout", choices=["none", "event_time"],
                    default="event_time",
                    help="stream mode: open-tail flush policy (event_time = "
@@ -119,20 +124,30 @@ def run(argv: list[str] | None = None) -> int:
         if not args.checkpoint:
             raise SystemExit("--mode stream requires --checkpoint "
                              "(streaming checkpointLocation)")
-        from flow_feature_spark.streaming import stateful_session_features
+        from flow_feature_spark.streaming import (
+            stateful_session_features,
+            stream_session_counts,
+        )
 
         schema = spark.read.parquet(args.input).schema
         reader = spark.readStream.schema(schema)
         if args.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
-        turns = normalize_turns(reader.parquet(args.input))
-        feats = stateful_session_features(
-            turns,
-            gap_seconds=args.gap_seconds,
-            rounding=args.rounding,
-            timeout=args.stream_timeout,
-            watermark=args.stream_watermark,
-        )
+        stream_df = reader.parquet(args.input)
+        if args.stream_engine == "counts":
+            feats = stream_session_counts(
+                stream_df,
+                gap=f"{int(args.gap_seconds)} seconds",
+                watermark=args.stream_watermark,
+            )
+        else:
+            feats = stateful_session_features(
+                normalize_turns(stream_df),
+                gap_seconds=args.gap_seconds,
+                rounding=args.rounding,
+                timeout=args.stream_timeout,
+                watermark=args.stream_watermark,
+            )
         writer = (
             feats.writeStream.outputMode("append")
             .format(args.format)

@@ -180,3 +180,38 @@ def test_job_checkpoint_manifest_carries_partition_lineage(spark, tmp_path):
     assert snap["rows_in"] > 0 and snap["rows_out"] > 0
     assert snap["rows_in_by_partition"]  # at least one partition recorded
     assert sum(snap["rows_in_by_partition"].values()) == snap["rows_in"]
+
+
+def test_job_stream_counts_engine(spark, tmp_path):
+    """--mode stream --stream-engine counts: native session_window aggregates
+    through the CLI; closed sessions match the batch sessionizer counts."""
+    from pyspark.sql import functions as F
+    from flow_feature_spark.prepare import normalize_turns
+    from flow_feature_spark.sessionize import assign_sessions
+    from flow_feature_spark.synth import synth_transcripts
+
+    inp = f"{tmp_path}/sc_in"
+    tr = synth_transcripts(spark, n_convs=10, turns_mean=10, hot_factor=2)
+    tr.coalesce(1).write.mode("overwrite").parquet(inp)  # one micro-batch
+
+    out, ckpt = f"{tmp_path}/sc_out", f"{tmp_path}/sc_ckpt"
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "stream",
+        "--stream-engine", "counts", "--checkpoint", ckpt,
+    ]) == 0
+    got = {
+        (r["conv_id"], r["turn_cnt"], r["byte_cnt"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = assign_sessions(normalize_turns(spark.read.parquet(inp)), 1800.0)
+    want_all = {
+        (r["conv_id"], r["turn_cnt"], r["byte_cnt"])
+        for r in batch.groupBy("conv_id", "session_id").agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.sum("plen").alias("byte_cnt"),
+        ).collect()
+    }
+    # append mode emits CLOSED sessions (per-conv tails stay open at the
+    # watermark): every emitted row must be a real batch session
+    assert got <= want_all
+    assert got  # at least the gap-closed sessions flushed

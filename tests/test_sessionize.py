@@ -233,3 +233,43 @@ def test_precondition_violations(spark):
     )
     got = [r[0] for r in precondition_violations(bad, bucket_turns=16).collect()]
     assert got == ["c4"]
+
+
+def test_bucketed_adversarial_boundaries(spark):
+    """Exact-threshold gaps (> not >=), ts ties spanning bucket boundaries,
+    and a reset-tool turn as the FIRST row of a bucket — every decision the
+    boundary-carry logic makes, at a bucket size chosen to split them."""
+    from flow_feature_spark.sessionize import assign_sessions_bucketed
+
+    gap_s = 10.0
+    gap_us = 10_000_000
+    t0 = 1_700_000_000_000_000
+    rows, ts = [], t0
+    # 40 turns: a mix placed so turn_idx 8/16/24/32 start new buckets (bt=8)
+    for i in range(40):
+        if i in (8, 24):
+            ts += gap_us          # EXACTLY the threshold -> NOT a new session
+        elif i in (16, 32):
+            ts += gap_us + 1      # one µs past -> new session
+        elif i in (7, 9, 15, 17):
+            ts += 0               # ties right at / across bucket boundaries
+        else:
+            ts += 1_000_000
+        flags = 4 if i == 32 else 0  # retry-tool turn AT a bucket-first row
+        rows.append(("adv", i, ts, bool(i % 2), 5, 1, flags, 4))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ts_us long, is_fwd boolean, "
+        "plen long, win long, flags int, ihl long",
+    )
+    for tool in (None, "retry"):
+        want = _ids(assign_sessions(df, gap_seconds=gap_s, reset_tool=tool))
+        got = _ids(
+            assign_sessions_bucketed(
+                df, gap_seconds=gap_s, bucket_turns=8, reset_tool=tool
+            )
+        )
+        assert got == want, f"reset_tool={tool}"
+    # sanity: the threshold-edge turns did split exactly twice (plain path)
+    plain = _ids(assign_sessions(df, gap_seconds=gap_s))
+    assert max(plain.values()) == 3
