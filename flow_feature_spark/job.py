@@ -242,9 +242,17 @@ def run(argv: list[str] | None = None) -> int:
         feats = attach_feature_ts(feats)
         if args.mode == "asof":
             probes = spark.read.parquet(args.probes)
-            return asof_join_fast(
-                feats.drop("session_start_ts", "session_end_ts"), probes, strict=True
-            )
+            payload = feats.drop("session_start_ts", "session_end_ts")
+            if effective_engine in ("exact-sql", "expr"):
+                # keep the WHOLE pipeline JVM-only: the union-window as-of is
+                # measured 8-13x faster than the Arrow strategy at 30M probes
+                # and scales at ~0.98 vs the hardware ceiling 8->32
+                # (BENCH/BASELINE.md) — the Arrow sort-merge stays the
+                # strategy for pandas-side extensibility
+                from flow_feature_spark.asof import asof_join_union_window
+
+                return asof_join_union_window(payload, probes, strict=True)
+            return asof_join_fast(payload, probes, strict=True)
         return feats
 
     if args.checkpoint:

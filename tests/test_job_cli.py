@@ -215,3 +215,30 @@ def test_job_stream_counts_engine(spark, tmp_path):
     # watermark): every emitted row must be a real batch session
     assert got <= want_all
     assert got  # at least the gap-closed sessions flushed
+
+
+def test_job_asof_mode_engines_agree(spark, tmp_path):
+    """--mode asof: the JVM-only route (exact-sql + union-window) and the
+    Arrow route (kernel + sort-merge) must produce identical rows at r6 —
+    two genuinely different engines and two different as-of strategies."""
+    from pyspark.sql import functions as F
+
+    inp, probes_p = f"{tmp_path}/in", f"{tmp_path}/probes"
+    _write_input(spark, inp)
+    src = spark.read.parquet(inp)
+    src.select(
+        F.col("conv_id").alias("entity_id"), F.col("ts").alias("probe_ts")
+    ).write.mode("overwrite").parquet(probes_p)
+
+    outs = {}
+    for tag, eng in (("arrow", "kernel"), ("jvm", "exact-sql")):
+        out = f"{tmp_path}/asof_{tag}"
+        assert job.run([
+            "--input", inp, "--output", out, "--mode", "asof",
+            "--probes", probes_p, "--engine", eng, "--rounding", "r6",
+        ]) == 0
+        outs[tag] = spark.read.parquet(out)
+    cols = sorted(outs["arrow"].columns)
+    a, b = outs["arrow"].select(cols), outs["jvm"].select(cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
