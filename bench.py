@@ -99,6 +99,33 @@ def main() -> int:
     queries["feature_exact_sql_synth"] = round(dtx, 3)
     extra["exact_sql_turns_per_sec"] = round(n_turns / dtx, 1)
 
+    # the all-JVM probe pipeline: exact-sql features + union-window as-of,
+    # every turn probing — the measured scale path (BENCH/BASELINE.md)
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.asof import asof_join_union_window
+
+    def _asof_jvm():
+        f = session_features_exact_sql(normalize_turns(stored), 1800.0).select(
+            "conv_id",
+            F.timestamp_micros(
+                (F.col("session_end_ts") * 1e6).cast("long")
+            ).alias("feature_ts"),
+            "n_turns", "dpl_total",
+        )
+        probes = stored.select(
+            F.col("conv_id").alias("entity_id"), F.col("ts").alias("probe_ts")
+        )
+        return asof_join_union_window(f, probes, strict=True).count()
+
+    dta = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        n_probes = _asof_jvm()
+        dta = min(dta, time.time() - t0)
+    queries["asof_exact_sql_synth"] = round(dta, 3)
+    extra["asof_jvm_probes_per_sec"] = round(n_probes / dta, 1)
+
     # --- the rest of the headline suite
     for name in (
         "session_features_sql",
