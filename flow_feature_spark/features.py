@@ -54,6 +54,8 @@ def session_features_exact_sql(
     view_name: str | None = None,
     rounding: str = "r6",
     reset_tool: str | None = None,
+    sessionizer: str = "sql",
+    bucket_turns: int = 8192,
 ) -> DataFrame:
     """EXACT 72-feature extraction as pure Spark SQL — no Python anywhere.
 
@@ -73,6 +75,14 @@ def session_features_exact_sql(
     and can differ by 1e-6 on pathological ties). ``reset_tool``: a tool name
     whose turns force-open a new session (same contract as
     sessionize.assign_sessions).
+
+    ``sessionizer``: "sql" (default) assigns sessions inside the query via
+    the per-conv lag+cumsum window CTE — one task per conversation for that
+    stage; "bucketed" pre-assigns them with
+    sessionize.assign_sessions_bucketed (bit-identical ids, no per-conv task
+    anywhere) and runs the feature SQL presessionized, so the largest task
+    unit drops from conversation to session. Output is bit-identical either
+    way (pinned in tests).
     """
     import uuid
 
@@ -85,19 +95,29 @@ def session_features_exact_sql(
         # the first caller's plan) — suffix with a uuid per call
         view_name = f"ffs_turns_v_{uuid.uuid4().hex}"
     spark = turns.sparkSession
-    turns.select(
-        "conv_id", "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
-    ).createOrReplaceTempView(view_name)
-    turns_sql = (
-        f"turns AS (SELECT conv_id, turn_idx, ts_us, is_fwd, plen, win, flags, ihl "
-        f"FROM {view_name})"
-    )
-    reset_cond = None
-    if reset_tool is not None:
-        from flow_feature_spark.schema import TOOL_FLAG_BITS
+    if sessionizer not in ("sql", "bucketed"):
+        raise ValueError(f"sessionizer must be 'sql' or 'bucketed', got {sessionizer!r}")
+    cols = ["conv_id", "turn_idx", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"]
+    presessionized = sessionizer == "bucketed"
+    if presessionized:
+        from flow_feature_spark.sessionize import assign_sessions_bucketed
 
-        bit = TOOL_FLAG_BITS[reset_tool]
-        reset_cond = f"(shiftright(flags, {bit}) & 1) = 1"
+        src = assign_sessions_bucketed(
+            turns, gap_seconds=gap_seconds, bucket_turns=bucket_turns,
+            reset_tool=reset_tool,
+        ).select(*cols, "session_id")
+        reset_cond = None  # applied during assignment
+    else:
+        src = turns.select(*cols)
+        reset_cond = None
+        if reset_tool is not None:
+            from flow_feature_spark.schema import TOOL_FLAG_BITS
+
+            bit = TOOL_FLAG_BITS[reset_tool]
+            reset_cond = f"(shiftright(flags, {bit}) & 1) = 1"
+    src.createOrReplaceTempView(view_name)
+    sel = ", ".join(cols + (["session_id"] if presessionized else []))
+    turns_sql = f"turns AS (SELECT {sel} FROM {view_name})"
     sql = feature_vector_sql(
         "spark",
         gap_us=int(round(gap_seconds * 1_000_000)),
@@ -105,6 +125,7 @@ def session_features_exact_sql(
         include_bounds=True,
         rounding=rounding,
         reset_cond=reset_cond,
+        presessionized=presessionized,
     )
     out = spark.sql(sql)
     # analysis captured the plan; drop the view so the session namespace

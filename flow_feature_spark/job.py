@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         "mega-convs, grouped kernel for order-violating convs)",
     )
     p.add_argument("--rounding", choices=["half_even", "r6"], default="half_even")
+    p.add_argument("--sessionizer", choices=["sql", "bucketed"], default="sql",
+                   help="exact-sql engine: assign sessions in-query (one "
+                   "window task per conversation) or via the bucketized "
+                   "two-pass pre-assignment (bit-identical ids, no per-conv "
+                   "task; use for mega-conversation inputs)")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--csv-header", action="store_true",
                    help="write a header row (reference: print_colname switch)")
@@ -212,6 +217,7 @@ def run(argv: list[str] | None = None) -> int:
             feats = session_features_exact_sql(
                 turns, gap_seconds=args.gap_seconds,
                 rounding=args.rounding, reset_tool=args.reset_tool,
+                sessionizer=args.sessionizer,
             )
         elif effective_engine == "adaptive":
             from flow_feature_spark.salted import adaptive_session_features

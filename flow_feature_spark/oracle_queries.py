@@ -284,6 +284,7 @@ def feature_vector_sql(
     include_bounds: bool = False,
     rounding: str = "r6",
     reset_cond: str | None = None,
+    presessionized: bool = False,
 ) -> str:
     """Full 72-feature per-(conv_id, session_id) query.
 
@@ -295,6 +296,13 @@ def feature_vector_sql(
     session_start_ts/session_end_ts (the kernel's metadata columns).
     ``rounding``/``reset_cond``: see _rnd_fn / sess_cte — engine-side knobs;
     every oracle keeps the r6 / no-reset defaults.
+
+    ``presessionized``: the turns source already carries ``session_id`` —
+    the gap-sessionization window CTE (one task per conversation: the lag +
+    cumsum partition by conv_id) is skipped entirely, so the first exchange
+    the query needs is the (conv_id, session_id) clustering of the gap
+    windows: a mega-conversation's SESSIONS spread across tasks. Pair with
+    sessionize.assign_sessions_bucketed for a fully skew-bounded JVM path.
     """
     rnd = _rnd_fn(dialect, rounding)
     raw, fin = _agg_block(dialect, rnd)
@@ -310,8 +318,13 @@ def feature_vector_sql(
     # wide exact domain: decimal(19,0)*bigint -> decimal(38,0) in Spark,
     # HUGEINT (int128) in DuckDB — identical integer values either way
     wide = "decimal(19,0)" if dialect == "spark" else "HUGEINT"
+    if presessionized:
+        assert reset_cond is None, "reset is part of sessionization; already applied"
+        sess_part = f"WITH {src}, sess AS (SELECT * FROM turns),"
+    else:
+        sess_part = f"WITH {src}, {sess_cte(gap_us, reset_cond)},"
     return f"""
-WITH {src}, {sess_cte(gap_us, reset_cond)},
+{sess_part}
 gaps AS (
   SELECT *,
          ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id

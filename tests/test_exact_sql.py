@@ -170,3 +170,40 @@ def test_exact_sql_sum_wall_raises_not_silent(spark):
     Must raise (devsq NULL with nonzero gap count), not emit a wrong std."""
     turns = _wide_turns(spark, big_gap_us=102_000_000_000_000_000, n_big=2)
     _expect_raise(session_features_exact_sql(turns, gap_seconds=GAP_HUGE_S))
+
+
+def test_exact_sql_bucketed_sessionizer_bit_equal(spark):
+    """sessionizer='bucketed' (pre-assigned session ids via the two-pass
+    bucketized sessionizer, presessionized SQL) must be bit-identical to the
+    default in-query window sessionization — including with a reset tool."""
+    tr = synth_transcripts(spark, n_convs=40, turns_mean=15, hot_factor=10)
+    turns = normalize_turns(tr).cache()
+    for tool in (None, "retry"):
+        base = _collect(
+            session_features_exact_sql(turns, gap_seconds=1800.0, reset_tool=tool)
+        )
+        bk = _collect(
+            session_features_exact_sql(
+                turns, gap_seconds=1800.0, reset_tool=tool,
+                sessionizer="bucketed", bucket_turns=16,
+            )
+        )
+        assert set(base) == set(bk)
+        for k in base:
+            np.testing.assert_array_equal(bk[k], base[k])
+
+
+def test_exact_sql_bucketed_has_no_conv_only_window(spark):
+    """Presessionized plan: no window partitioned by conv_id alone anywhere —
+    the gap windows cluster on (conv, session) at minimum."""
+    import re
+
+    tr = synth_transcripts(spark, n_convs=10, turns_mean=10, hot_factor=2)
+    out = session_features_exact_sql(
+        normalize_turns(tr), 1800.0, sessionizer="bucketed", bucket_turns=16
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # a conv-only sessionization window would show partition (conv_id, ts_us ASC...)
+    assert re.search(r"windowspecdefinition\(conv_id#\d+, ts_us", plan) is None
