@@ -322,6 +322,56 @@ def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family bounded frame: trailing-k rolling stats per turn through the
+    engine API (windows.rolling_turn_features), k=8."""
+    from flow_feature_spark.windows import rolling_turn_features
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    out = rolling_turn_features(sess, value_col="plen", k=8)
+    return out.select(
+        "conv_id", "session_id", "turn_idx",
+        "roll_cnt", "roll_sum", "roll_mean", "roll_min", "roll_max",
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join through the bucketized engine path: probes x the
+    session intervals containing them (1-day time buckets; the oracle is the
+    plain non-equi SQL join)."""
+    from flow_feature_spark.rangejoin import interval_join_bucketed
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    iv = (
+        sess.groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        )
+        .withColumnRenamed("conv_id", "entity_id")
+    )
+    probes = _probes(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("probe_ts").cast("timestamp"))
+    )
+    out = interval_join_bucketed(iv, probes, bucket_us=86_400_000_000)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return out.select(
+        "entity_id", "probe_ts", "session_id", "n_turns",
+        r6((F.col("ts_us") - F.col("start_us")) / F.lit(1e6)).alias("into_session_s"),
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style ROLLUP(day, hour) through the engine API."""
+    from flow_feature_spark.rollup import time_rollup
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings) — Spark side runs
 # the ops modules; oracles in oracle_docs mirror the formulas exactly.
@@ -428,6 +478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "asof_running_vector": q_asof_running_vector,
         "asof_union_window_api": q_asof_union_window_api,
+        "rolling_features": q_rolling_features,
+        "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
+        "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
         "tpch_q1": _sql(OQ.tpch_q1_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
@@ -474,6 +528,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": OQ.asof_tolerance_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),
+        "rolling_features": OQ.rolling_features_sql(d),
+        "interval_join": OQ.interval_join_sql(d),
+        "time_rollup": OQ.time_rollup_sql(d),
+        "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),
         "semi_anti_join": OQ.semi_anti_sql(d),

@@ -133,6 +133,10 @@ def main() -> int:
         "asof_union_window_sql",
         "cumulative_running",
         "lag_lead_backfill",
+        "rolling_features",
+        "interval_join",
+        "time_rollup",
+        "gap_percentiles",
         "tpch_q1",
         "broadcast_join",
         "minhash_lsh_pairs",

@@ -798,6 +798,114 @@ GROUP BY proto
 """
 
 
+def rolling_features_sql(dialect: str, gap_us: int = GAP_US, k: int = 8) -> str:
+    """Bounded-frame rolling stats per turn (W-family extension): moving
+    count/sum/mean/min/max of plen over the trailing ``k`` turns of the
+    session. Exact domains: bigint sum over the frame, one double conversion
+    for the mean. Mirrors windows.rolling_turn_features."""
+    frame = (f"OVER (PARTITION BY conv_id, session_id ORDER BY ts_us, turn_idx "
+             f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)")
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}
+SELECT conv_id, session_id, turn_idx,
+  cast(count(*) {frame} AS bigint)  AS roll_cnt,
+  cast(sum(plen) {frame} AS bigint) AS roll_sum,
+  {r6(f'cast(sum(plen) {frame} AS double) / count(*) {frame}')} AS roll_mean,
+  cast(min(plen) {frame} AS bigint) AS roll_min,
+  cast(max(plen) {frame} AS bigint) AS roll_max
+FROM sess
+"""
+
+
+def interval_join_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Range/interval-join oracle: every probe paired with the session whose
+    [min_us, max_us] interval contains it (same conversation). The Spark side
+    runs rangejoin.interval_join_bucketed — the time-bucket decomposition —
+    so this plain non-equi join is a genuinely independent implementation."""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {probes_cte()},
+iv AS (
+  SELECT conv_id, session_id,
+         min(ts_us) AS start_us, max(ts_us) AS end_us,
+         cast(count(*) AS bigint) AS n_turns
+  FROM sess GROUP BY conv_id, session_id
+)
+SELECT p.entity_id, p.probe_ts, iv.session_id, iv.n_turns,
+       {r6(f"({_epoch_us(dialect, 'p.probe_ts')} - iv.start_us)/1e6")} AS into_session_s
+FROM probes p
+JOIN iv ON p.entity_id = iv.conv_id
+       AND {_epoch_us(dialect, 'p.probe_ts')} BETWEEN iv.start_us AND iv.end_us
+"""
+
+
+def time_rollup_sql(dialect: str) -> str:
+    """Hypertable-style multi-granularity rollup: ROLLUP(day, hour) emits the
+    hourly, daily and grand-total aggregate rows in one pass. The level tag is
+    derived from the null markers (ts is never null, so a null bucket can only
+    be a rollup subtotal). Counts/sums stay in exact integer domains."""
+    return """
+SELECT CASE WHEN bucket_day IS NULL THEN 'all'
+            WHEN bucket_hour IS NULL THEN 'day' ELSE 'hour' END AS lvl,
+       bucket_day, bucket_hour,
+       cast(count(*) AS bigint)                         AS n_events,
+       cast(sum(length(coalesce(props, ''))) AS bigint) AS bytes_total,
+       cast(count(DISTINCT user_id) AS bigint)          AS n_users
+FROM (
+  SELECT cast(date_trunc('day', ts) AS timestamp) AS bucket_day,
+         cast(hour(ts) AS int)                    AS bucket_hour,
+         user_id, props
+  FROM events
+) t
+GROUP BY ROLLUP (bucket_day, bucket_hour)
+"""
+
+
+def gap_percentiles_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Per-session exact gap percentiles (p50/p90/p99) via deterministic
+    linear interpolation written out identically in both dialects: rank the
+    gaps, pick the floor/ceil neighbors of (n-1)*p, interpolate in double.
+    This sidesteps engine-internal percentile implementations (whose float-op
+    order differs) — identical expression text over exact bigint gaps gives
+    bit-identical doubles. Matches numpy.percentile(linear) semantics,
+    asserted in tests against F.percentile."""
+    pcts = (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
+    agg_terms, fin_terms = [], []
+    for name, p in pcts:
+        lo = f"cast(floor((n-1)*{p}) AS bigint)"
+        agg_terms.append(
+            f"max(CASE WHEN rk = {lo} THEN gap_us END) AS lo_{name},\n"
+            f"    max(CASE WHEN rk = least({lo} + 1, n - 1) THEN gap_us END) AS hi_{name}"
+        )
+        interp = (f"(cast(lo_{name} AS double) + "
+                  f"(cast(hi_{name} AS double) - cast(lo_{name} AS double)) * "
+                  f"((n-1)*{p} - floor((n-1)*{p})))")
+        fin_terms.append(f"{r6(f'{interp}/1e6')} AS gap_{name}_s")
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)},
+g AS (
+  SELECT conv_id, session_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
+                                  ORDER BY ts_us, turn_idx) AS gap_us
+  FROM sess
+),
+r AS (
+  SELECT conv_id, session_id, gap_us,
+         cast(row_number() OVER (PARTITION BY conv_id, session_id
+                                 ORDER BY gap_us) AS bigint) - 1 AS rk,
+         cast(count(*) OVER (PARTITION BY conv_id, session_id) AS bigint) AS n
+  FROM g WHERE gap_us IS NOT NULL
+),
+agg AS (
+  SELECT conv_id, session_id, min(n) AS n,
+    {(",".join(chr(10) + "    " + t for t in agg_terms)).lstrip()}
+  FROM r GROUP BY conv_id, session_id
+)
+SELECT conv_id, session_id, cast(n AS bigint) AS n_gaps,
+  {",".join(chr(10) + "  " + t for t in fin_terms).lstrip()}
+FROM agg
+"""
+
+
 def whole_table_features_sql(dialect: str) -> str:
     """pcap-mode full 72-vector: one row for the whole table, plus the
     distinct-endpoint count (dst_sets analog). Same exact-domain machinery as

@@ -1,0 +1,56 @@
+"""Hypertable-style multi-granularity time rollup.
+
+One pass over the fact table emits aggregates at every granularity level
+(hour, day, grand total) via Spark's native ROLLUP grouping sets — the
+continuous-aggregate pattern of time-series stores, expressed declaratively
+so Catalyst plans a single Expand + hash aggregate (partial + final): no
+N-scans-for-N-levels, no shuffle per level.
+
+Level identification uses the null markers ROLLUP emits: the time buckets
+are derived from a non-null ts, so a null bucket can only be a subtotal row.
+Counts and sums accumulate in exact integer domains (cross-engine-hash-exact
+against oracle_queries.time_rollup_sql); distinct counts are exact per the
+reference's dst_sets discipline (flow.py:508-510) — at 100 TB swap
+count_distinct for approx_count_distinct per level, trading the driver's
+exactness gate for an HLL sketch mergeable across levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    bytes_expr: str = "length(coalesce(props, ''))",
+) -> DataFrame:
+    """ROLLUP(day, hour) over an event table: hourly rows, daily subtotals,
+    one grand total. Returns (lvl, bucket_day, bucket_hour, n_events,
+    bytes_total, n_users)."""
+    base = df.select(
+        F.date_trunc("day", F.col(ts_col)).cast("timestamp").alias("bucket_day"),
+        F.hour(F.col(ts_col)).cast("int").alias("bucket_hour"),
+        F.col(entity_col).alias("__entity"),
+        F.expr(bytes_expr).cast("bigint").alias("__bytes"),
+    )
+    agg = base.rollup("bucket_day", "bucket_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("__bytes").cast("bigint").alias("bytes_total"),
+        F.countDistinct("__entity").cast("bigint").alias("n_users"),
+    )
+    lvl = (
+        F.when(F.col("bucket_day").isNull(), F.lit("all"))
+        .when(F.col("bucket_hour").isNull(), F.lit("day"))
+        .otherwise(F.lit("hour"))
+    )
+    return agg.select(
+        lvl.alias("lvl"),
+        "bucket_day",
+        "bucket_hour",
+        "n_events",
+        "bytes_total",
+        "n_users",
+    )

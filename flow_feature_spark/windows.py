@@ -54,6 +54,43 @@ def backward_fill(df: DataFrame, cols: list[str], conv_col: str = "conv_id") -> 
     return df
 
 
+def rolling_turn_features(
+    df: DataFrame,
+    value_col: str = "plen",
+    k: int = 8,
+    keys: tuple[str, ...] = ("conv_id", "session_id"),
+) -> DataFrame:
+    """Bounded-frame rolling stats: moving count/sum/mean/min/max of
+    ``value_col`` over the trailing ``k`` turns of the session (the current
+    turn plus k-1 predecessors — a short-horizon behavioral signal next to
+    cumulative_turn_features' full history). Point-in-time safe: the frame
+    never reaches past the current row.
+
+    Exactness discipline: the sum stays bigint over the frame and converts to
+    double once for the mean (r6), matching oracle_queries.rolling_features_sql
+    bit-for-bit. One window = one shuffle on ``keys``, shared with every other
+    (conv_id, session_id) window in the plan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts_us", "turn_idx")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    x = F.col(value_col)
+    cnt = F.count(F.lit(1)).over(w)
+    sm = F.sum(x).over(w)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return (
+        df.withColumn("roll_cnt", cnt.cast("bigint"))
+        .withColumn("roll_sum", sm.cast("bigint"))
+        .withColumn("roll_mean", r6(sm.cast("double") / cnt))
+        .withColumn("roll_min", F.min(x).over(w).cast("bigint"))
+        .withColumn("roll_max", F.max(x).over(w).cast("bigint"))
+    )
+
+
 def _running_std_pop(x: Column, cum: WindowSpec) -> Column:
     mean_sq = F.avg(x * x).over(cum)
     sq_mean = F.avg(x).over(cum) * F.avg(x).over(cum)

@@ -1,0 +1,92 @@
+"""Multi-granularity time rollup: level algebra vs plain groupBy, exact
+distinct semantics, and the approx_count_distinct scale twin (rollup.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from flow_feature_spark.rollup import time_rollup
+
+
+def _events(spark, n=500, seed=7):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            f"u{rng.randrange(40)}",
+            base + dt.timedelta(hours=rng.randrange(96), seconds=rng.randrange(3600)),
+            "x" * rng.randrange(20),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts timestamp, props string")
+
+
+def test_rollup_levels_consistent(spark):
+    ev = _events(spark)
+    out = time_rollup(ev).collect()
+    hour = [r for r in out if r["lvl"] == "hour"]
+    day = [r for r in out if r["lvl"] == "day"]
+    total = [r for r in out if r["lvl"] == "all"]
+    assert len(total) == 1
+    # additive measures roll up exactly across levels
+    assert sum(r["n_events"] for r in hour) == total[0]["n_events"] == ev.count()
+    assert sum(r["bytes_total"] for r in day) == total[0]["bytes_total"]
+    by_day = {}
+    for r in hour:
+        by_day[r["bucket_day"]] = by_day.get(r["bucket_day"], 0) + r["n_events"]
+    assert by_day == {r["bucket_day"]: r["n_events"] for r in day}
+
+
+def test_rollup_hour_level_matches_plain_groupby(spark):
+    ev = _events(spark)
+    out = {
+        (r["bucket_day"], r["bucket_hour"]): (r["n_events"], r["n_users"])
+        for r in time_rollup(ev).collect()
+        if r["lvl"] == "hour"
+    }
+    plain = {
+        (r["d"], r["h"]): (r["n"], r["u"])
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), F.hour("ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert out == plain
+
+
+def test_rollup_distinct_is_exact_not_additive(spark):
+    """n_users at the day level is a TRUE distinct over the day, not a sum of
+    hourly distincts — the exactness property approx sketches must also keep
+    (mergeability), pinned here against the naive additive mistake."""
+    ev = _events(spark)
+    out = time_rollup(ev).collect()
+    day = {r["bucket_day"]: r["n_users"] for r in out if r["lvl"] == "day"}
+    hour_sum = {}
+    for r in out:
+        if r["lvl"] == "hour":
+            hour_sum[r["bucket_day"]] = hour_sum.get(r["bucket_day"], 0) + r["n_users"]
+    # with 40 users over 4 days, some user hits >1 hour of the same day
+    assert any(day[d] < hour_sum[d] for d in day)
+    truth = {
+        r["d"]: r["u"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert day == truth
+
+
+def test_approx_distinct_scale_twin(spark):
+    """The 100-TB path for A10/rollup distincts: HLL approx_count_distinct
+    stays within its documented rsd of the exact count (here 5%)."""
+    ev = _events(spark, n=4000, seed=11)
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])

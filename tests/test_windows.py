@@ -89,3 +89,69 @@ def test_cumulative_is_point_in_time_safe(spark):
     b = {tuple(r[k] for k in key): r["run_plen_std"] for r in trunc.collect()}
     for k, v in b.items():
         assert a[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_rolling_matches_pandas_rolling(spark):
+    from flow_feature_spark.windows import rolling_turn_features
+
+    tr = synth_transcripts(spark, n_convs=10, turns_mean=15, hot_factor=3)
+    sess = assign_sessions(normalize_turns(tr), gap_seconds=1800.0)
+    k = 4
+    out = rolling_turn_features(sess, value_col="plen", k=k).select(
+        "conv_id", "session_id", "turn_idx", "ts_sec", "plen",
+        "roll_cnt", "roll_sum", "roll_mean", "roll_min", "roll_max",
+    )
+    pdf = out.toPandas().sort_values(["conv_id", "session_id", "ts_sec", "turn_idx"])
+    for (_, _), g in pdf.groupby(["conv_id", "session_id"]):
+        roll = g["plen"].rolling(window=k, min_periods=1)
+        np.testing.assert_array_equal(g["roll_sum"], roll.sum().astype("int64"))
+        np.testing.assert_array_equal(g["roll_min"], roll.min().astype("int64"))
+        np.testing.assert_array_equal(g["roll_max"], roll.max().astype("int64"))
+        np.testing.assert_array_equal(g["roll_cnt"], roll.count().astype("int64"))
+        np.testing.assert_allclose(g["roll_mean"], roll.mean(), rtol=0, atol=5.1e-7)
+
+
+def test_rolling_k1_is_identity(spark):
+    from flow_feature_spark.windows import rolling_turn_features
+
+    tr = synth_transcripts(spark, n_convs=4, turns_mean=6, hot_factor=1)
+    sess = assign_sessions(normalize_turns(tr), gap_seconds=1800.0)
+    out = rolling_turn_features(sess, value_col="plen", k=1)
+    bad = out.filter(
+        (F.col("roll_sum") != F.col("plen")) | (F.col("roll_cnt") != 1)
+        | (F.col("roll_min") != F.col("plen")) | (F.col("roll_max") != F.col("plen"))
+    )
+    assert bad.count() == 0
+
+
+def test_gap_percentiles_match_spark_percentile(spark):
+    """The manual interpolation SQL (shared cross-engine template) agrees with
+    Spark's built-in exact percentile (same (n-1)*p linear definition)."""
+    from flow_feature_spark import oracle_queries as OQ
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    manual = {
+        (r["conv_id"], r["session_id"]): (r["gap_p50_s"], r["gap_p90_s"], r["gap_p99_s"])
+        for r in spark.sql(OQ.gap_percentiles_sql("spark")).collect()
+    }
+    builtin_sql = f"""
+    WITH {OQ.turns_cte('spark')}, {OQ.sess_cte()},
+    g AS (
+      SELECT conv_id, session_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
+                                      ORDER BY ts_us, turn_idx) AS gap_us
+      FROM sess
+    )
+    SELECT conv_id, session_id,
+           percentile(gap_us, array(0.5, 0.9, 0.99)) AS p
+    FROM g WHERE gap_us IS NOT NULL GROUP BY conv_id, session_id
+    """
+    builtin = {
+        (r["conv_id"], r["session_id"]): tuple(v / 1e6 for v in r["p"])
+        for r in spark.sql(builtin_sql).collect()
+    }
+    assert manual.keys() == builtin.keys()
+    for key, vals in manual.items():
+        np.testing.assert_allclose(vals, builtin[key], rtol=0, atol=5.1e-7)
