@@ -155,3 +155,29 @@ def test_gap_percentiles_match_spark_percentile(spark):
     assert manual.keys() == builtin.keys()
     for key, vals in manual.items():
         np.testing.assert_allclose(vals, builtin[key], rtol=0, atol=5.1e-7)
+
+
+def test_approx_percentile_scale_twin(spark):
+    """The 100-TB path for gap percentiles: approx_percentile (merge-safe
+    t-digest-style sketch) stays within accuracy*range of the exact linear
+    interpolation the gap_percentiles oracle computes."""
+    from flow_feature_spark import oracle_queries as OQ
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sql = f"""
+    WITH {OQ.turns_cte('spark')}, {OQ.sess_cte()},
+    g AS (
+      SELECT conv_id, ts_us - lag(ts_us) OVER (PARTITION BY conv_id, session_id
+             ORDER BY ts_us, turn_idx) AS gap_us
+      FROM sess
+    )
+    SELECT percentile(gap_us, 0.5) AS exact_p50,
+           approx_percentile(gap_us, 0.5, 10000) AS approx_p50,
+           min(gap_us) AS lo, max(gap_us) AS hi
+    FROM g WHERE gap_us IS NOT NULL
+    """
+    r = spark.sql(sql).collect()[0]
+    # accuracy=10000 -> rank error <= n/10000; bound loosely by value range
+    assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.01 * (r["hi"] - r["lo"])

@@ -106,6 +106,41 @@ def main() -> int:
         re.search(r"windowspecdefinition\(conv_id#\d+, ts_us", pb) is None,
     )
 
+    # 1d. interval join: bucket decomposition must plan a HASH equi join —
+    # a nested-loop/cartesian here means the range predicate leaked into the
+    # join condition instead of the post-filter
+    from flow_feature_spark.rangejoin import interval_join_bucketed
+
+    sess_iv = (
+        assign_sessions(turns, 1800.0)
+        .groupBy("conv_id", "session_id")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+        .withColumnRenamed("conv_id", "entity_id")
+    )
+    pr = turns.select(F.col("conv_id").alias("entity_id"), "ts_us")
+    pij = plan_of(interval_join_bucketed(sess_iv, pr, bucket_us=600_000_000), "simple")
+    check(
+        "interval join is a hash equi join (no nested loop)",
+        ("NestedLoop" not in pij and "Cartesian" not in pij)
+        and re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", pij) is not None,
+    )
+
+    # 1e. rolling window shares the session keys' single exchange
+    from flow_feature_spark.windows import rolling_turn_features
+
+    roll = rolling_turn_features(assign_sessions(turns, 1800.0), k=8)
+    prw = plan_of(roll, "simple")
+    n_roll = len(re.findall(r"\+- Exchange|^Exchange", prw, re.M))
+    check("sessionize + rolling window = 1 exchange", n_roll == 1, f"found {n_roll}")
+
+    # 1f. time rollup: one Expand + partial/final aggregate, no per-level scan
+    from flow_feature_spark.rollup import time_rollup
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prr = plan_of(time_rollup(ev_raw), "simple")
+    check("rollup plans a single Expand pass", prr.count("Expand") >= 1
+          and prr.count("FileScan") == 1, f"scans={prr.count('FileScan')}")
+
     # 2. predicate pushdown on a filtered scan
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
