@@ -437,6 +437,20 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum top-k sampling (content-addressed md5
+    order) through ops/sample — stable under repartition/restart/engine."""
+    from flow_feature_spark.ops.sample import stratified_topk
+
+    out = stratified_topk(_docs(spark, sf_dir), group_col="source", k=10)
+    return out.select("doc_id", "source", "lang", "n_chars", "sample_rank")
+
+
+def q_token_vocab(spark, sf_dir):
+    """Corpus vocabulary pass: top-50 tokens by frequency, deterministic cut."""
+    return tx.token_vocabulary(_docs(spark, sf_dir), top_n=50)
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = mm.documents_as_media(_docs(spark, sf_dir))
     return mm.decode_media(media)
@@ -507,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "stratified_sample": q_stratified_sample,
+        "token_vocab": q_token_vocab,
+        "rank_binning": _sql(OQ.rank_binning_sql),
     }
 
 
@@ -557,4 +574,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_decode": OD.multimodal_decode_sql(d),
         "frame_sample": OD.frame_sample_sql(d),
+        "stratified_sample": OD.stratified_sample_sql(d),
+        "token_vocab": OD.token_vocab_sql(d),
+        "rank_binning": OQ.rank_binning_sql(d),
     }

@@ -5,7 +5,7 @@ scale-free (embarrassingly parallel over the scan, no shuffle at all).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenizer regex: word pieces OR single non-space punctuation.
@@ -133,4 +133,31 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp_md5"),
         rolling_fingerprint(t).alias("fp_roll"),
+    )
+
+
+def token_vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Corpus-level token frequency table, top-``top_n`` by count (the
+    classic vocabulary-building pass of a BPE/tokenizer pipeline).
+
+    Shape at scale: explode is map-side; the count is one hash aggregate
+    with map-side partial combine (token cardinality ~ vocabulary size,
+    millions at most — tiny next to the corpus); the final top-N ranks the
+    AGGREGATED table (one row per distinct token), so the single-task
+    window sorts |vocab| rows, never |corpus|. Tiebreak on the token string
+    keeps the cut deterministic.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    tok = F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    counts = (
+        df.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
     )

@@ -597,3 +597,42 @@ SELECT doc_id,
   cast(CASE WHEN {blen} = 0 THEN 0 ELSE 1 + ({blen} % 16) END AS int) AS n_frames
 FROM documents
 """
+
+
+def stratified_sample_sql(dialect: str, k: int = 10, salt: str = "") -> str:
+    """ops/sample.stratified_topk oracle: deterministic per-stratum top-k by
+    md5 order (same 60-bit md5-int primitive as the dedup signatures)."""
+    if dialect == "spark":
+        key = f"concat('{salt}', cast(doc_id AS string))"
+    else:
+        key = f"('{salt}' || CAST(doc_id AS VARCHAR))"
+    h = _md5int(dialect, key)
+    return f"""
+SELECT doc_id, source, lang, n_chars, sample_rank
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         cast(row_number() OVER (PARTITION BY source
+                                 ORDER BY {h}, doc_id) AS int) AS sample_rank
+  FROM documents
+) t WHERE sample_rank <= {k}
+"""
+
+
+def token_vocab_sql(dialect: str, top_n: int = 50) -> str:
+    """ops/text.token_vocabulary oracle: corpus token frequency, top-N with
+    deterministic (count desc, token asc) cut."""
+    norm = _norm(dialect)
+    if dialect == "spark":
+        tok = f"explode(split({norm}, ' '))"
+    else:
+        tok = f"unnest(regexp_split_to_array({norm}, ' '))"
+    return f"""
+SELECT token, n, rank
+FROM (
+  SELECT token, cast(count(*) AS bigint) AS n,
+         cast(row_number() OVER (ORDER BY count(*) DESC, token) AS int) AS rank
+  FROM (SELECT {tok} AS token FROM documents) t
+  WHERE token <> ''
+  GROUP BY token
+) r WHERE rank <= {top_n}
+"""

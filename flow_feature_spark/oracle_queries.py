@@ -906,6 +906,23 @@ FROM agg
 """
 
 
+def rank_binning_sql(dialect: str, gap_us: int = GAP_US, n_bins: int = 4) -> str:
+    """Rank-based discretization per session (feature binning): ntile
+    quartile, percent_rank and cume_dist of plen under a TOTAL order
+    (plen, ts_us, turn_idx) — the full tiebreak is what makes all three
+    deterministic and therefore cross-engine hash-exact."""
+    w = ("OVER (PARTITION BY conv_id, session_id "
+         "ORDER BY plen, ts_us, turn_idx)")
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}
+SELECT conv_id, session_id, turn_idx, plen,
+  cast(ntile({n_bins}) {w} AS int) AS plen_bin,
+  {r6(f'percent_rank() {w}')}      AS plen_prank,
+  {r6(f'cume_dist() {w}')}         AS plen_cdist
+FROM sess
+"""
+
+
 def whole_table_features_sql(dialect: str) -> str:
     """pcap-mode full 72-vector: one row for the whole table, plus the
     distinct-endpoint count (dst_sets analog). Same exact-domain machinery as
