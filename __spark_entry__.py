@@ -437,6 +437,15 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the simhash near-dup pair
+    graph via iterative min-label propagation; component id = canonical doc."""
+    from flow_feature_spark.ops.cluster import dedup_clusters
+
+    pairs = dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return dedup_clusters(pairs)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum top-k sampling (content-addressed md5
     order) through ops/sample — stable under repartition/restart/engine."""
@@ -524,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_vocab": q_token_vocab,
         "rank_binning": _sql(OQ.rank_binning_sql),
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -577,4 +587,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": OD.stratified_sample_sql(d),
         "token_vocab": OD.token_vocab_sql(d),
         "rank_binning": OQ.rank_binning_sql(d),
+        "dedup_clusters": OD.dedup_clusters_sql(d),
     }

@@ -636,3 +636,31 @@ FROM (
   GROUP BY token
 ) r WHERE rank <= {top_n}
 """
+
+
+def dedup_clusters_sql(dialect: str) -> str:
+    """ops/cluster.dedup_clusters oracle: connected components of the
+    simhash near-dup pair graph via recursive transitive closure — min
+    reachable doc_id = component id. A genuinely independent implementation
+    from the engine's iterative label propagation (closure is quadratic in
+    component size, fine at oracle scale; the engine side is the one that
+    scales)."""
+    assert dialect == "duckdb", "spark side runs the engine API (dedup_clusters)"
+    inner = simhash_pairs_sql(dialect)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT r.node, s.b AS lab FROM reach r JOIN sym s ON r.lab = s.a
+)
+SELECT node AS doc_id, cast(min(lab) AS bigint) AS component,
+       (node = min(lab)) AS is_canonical
+FROM reach GROUP BY node
+"""

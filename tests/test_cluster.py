@@ -1,0 +1,67 @@
+"""Connected components / dedup clustering (ops/cluster.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flow_feature_spark.ops.cluster import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _cc(spark, pairs, **kw):
+    out = connected_components(_edges(spark, pairs), **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_components_and_selfloop(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (11, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    """Worst-case diameter regime (the one large-star/small-star targets):
+    a 30-node path must still collapse to the single min label."""
+    n = 30
+    got = _cc(spark, [(i, i + 1) for i in range(n)], max_iter=40)
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_ring_and_cross_edges(spark):
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    got = _cc(spark, ring + [(3, 20), (20, 21)])
+    assert set(got.values()) == {0} and got[21] == 0
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(20)], max_iter=2)
+
+
+def test_partitioning_invariance(spark):
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (21, 22)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, connected_components(e).collect()))
+    b = sorted(map(tuple, connected_components(e.repartition(13)).collect()))
+    assert a == b
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (30, 31)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {
+        5: (5, True), 9: (5, False), 7: (5, False),
+        30: (30, True), 31: (30, False),
+    }
+    # dedup decision: exactly one canonical per component
+    per_comp = {}
+    for comp, canon in rows.values():
+        per_comp[comp] = per_comp.get(comp, 0) + int(canon)
+    assert all(v == 1 for v in per_comp.values())
