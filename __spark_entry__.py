@@ -534,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": q_token_vocab,
         "rank_binning": _sql(OQ.rank_binning_sql),
         "dedup_clusters": q_dedup_clusters,
+        "table_profile": _sql(OQ.table_profile_sql),
+        "zscore_normalize": _sql(OQ.zscore_sql),
     }
 
 
@@ -588,4 +590,6 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": OD.token_vocab_sql(d),
         "rank_binning": OQ.rank_binning_sql(d),
         "dedup_clusters": OD.dedup_clusters_sql(d),
+        "table_profile": OQ.table_profile_sql(d),
+        "zscore_normalize": OQ.zscore_sql(d),
     }

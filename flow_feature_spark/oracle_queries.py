@@ -923,6 +923,72 @@ FROM sess
 """
 
 
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    # (column, kind): numeric columns profile min/max in double (r6), string
+    # columns in lexicographic string space, timestamps via exact epoch-µs
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("ts", "ts"),
+    ("event_type", "str"),
+    ("props", "str"),
+    ("value", "num"),
+)
+
+
+def table_profile_sql(dialect: str) -> str:
+    """Ingest-QA table profiler: one row per column with count, null count,
+    exact distinct count, and typed min/max — the schema-sanity pass a
+    training pipeline runs before anything else. UNION ALL of per-column
+    aggregates over ONE scan per branch (Catalyst collapses the shared scan;
+    at 100 TB this is the shape you want anyway — each branch is a partial
+    agg, no shuffle of raw rows). Doubles go through r6 after exact
+    accumulation; timestamps through exact epoch-µs."""
+    parts = []
+    for col, kind in PROFILE_COLS:
+        if kind == "num":
+            mn = f"{r6(f'cast(min({col}) AS double)')}"
+            mx = f"{r6(f'cast(max({col}) AS double)')}"
+        elif kind == "ts":
+            mn = f"cast(min({_epoch_us(dialect, col)}) AS double)/1e6"
+            mx = f"cast(max({_epoch_us(dialect, col)}) AS double)/1e6"
+        else:
+            mn, mx = "cast(NULL AS double)", "cast(NULL AS double)"
+        if kind == "str":
+            smn, smx = f"min({col})", f"max({col})"
+        else:
+            smn, smx = "cast(NULL AS string)", "cast(NULL AS string)"
+        if dialect == "duckdb":
+            smn = smn.replace(" AS string", " AS VARCHAR")
+            smx = smx.replace(" AS string", " AS VARCHAR")
+        parts.append(f"""
+  SELECT '{col}' AS col,
+         cast(count(*) AS bigint) AS n,
+         cast(count(*) - count({col}) AS bigint) AS n_null,
+         cast(count(DISTINCT {col}) AS bigint) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {smn} AS min_str, {smx} AS max_str
+  FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def zscore_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Per-session z-score feature scaling: z = (x - mean)/std_pop over the
+    session population, std from exact integer sums (one double conversion),
+    std = 0 -> z = 0. The normalization step of a feature pipeline, written
+    as one window pass (no second scan for the moments)."""
+    w = "OVER (PARTITION BY conv_id, session_id)"
+    mean = f"(cast(sum(plen) {w} AS double) / count(*) {w})"
+    var = (f"greatest(cast(sum(plen*plen) {w} AS double) / count(*) {w}"
+           f" - {mean}*{mean}, 0.0)")
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}
+SELECT conv_id, session_id, turn_idx, plen,
+  CASE WHEN sqrt({var}) = 0.0 THEN 0.0
+       ELSE {r6(f'(plen - {mean}) / sqrt({var})')} END AS plen_z
+FROM sess
+"""
+
+
 def whole_table_features_sql(dialect: str) -> str:
     """pcap-mode full 72-vector: one row for the whole table, plus the
     distinct-endpoint count (dst_sets analog). Same exact-domain machinery as
