@@ -364,6 +364,37 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap through the bucketized engine path:
+    cross-conversation session pairs that ran concurrently."""
+    from flow_feature_spark.rangejoin import overlap_join_bucketed
+
+    turns = _events_turns(spark, sf_dir)
+    sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    iv = sess.groupBy("conv_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    a = iv.select(
+        F.col("conv_id").alias("conv_a"), F.col("session_id").alias("session_a"),
+        F.col("start_us").alias("l_start_us"), F.col("end_us").alias("l_end_us"),
+    )
+    b = iv.select(
+        F.col("conv_id").alias("conv_b"), F.col("session_id").alias("session_b"),
+        F.col("start_us").alias("r_start_us"), F.col("end_us").alias("r_end_us"),
+    )
+    out = overlap_join_bucketed(a, b, bucket_us=86_400_000_000).filter(
+        F.col("conv_a") < F.col("conv_b")
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    ov = (
+        F.least("l_end_us", "r_end_us") - F.greatest("l_start_us", "r_start_us")
+    )
+    return out.select(
+        "conv_a", "session_a", "conv_b", "session_b",
+        r6(ov / F.lit(1e6)).alias("overlap_s"),
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style ROLLUP(day, hour) through the engine API."""
     from flow_feature_spark.rollup import time_rollup
@@ -503,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union_window_api": q_asof_union_window_api,
         "rolling_features": q_rolling_features,
         "interval_join": q_interval_join,
+        "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
@@ -559,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_union_window_api": OQ.asof_sql(d),
         "rolling_features": OQ.rolling_features_sql(d),
         "interval_join": OQ.interval_join_sql(d),
+        "overlap_join": OQ.overlap_join_sql(d),
         "time_rollup": OQ.time_rollup_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

@@ -838,6 +838,27 @@ JOIN iv ON p.entity_id = iv.conv_id
 """
 
 
+def overlap_join_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Interval x interval overlap oracle: cross-conversation session pairs
+    that ran concurrently, with the overlap length. Plain non-equi self-join
+    (quadratic — oracle scale only); the Spark side runs
+    rangejoin.overlap_join_bucketed (responsibility-rule dedup)."""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)},
+iv AS (
+  SELECT conv_id, session_id,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM sess GROUP BY conv_id, session_id
+)
+SELECT a.conv_id AS conv_a, a.session_id AS session_a,
+       b.conv_id AS conv_b, b.session_id AS session_b,
+       {r6('(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))/1e6')} AS overlap_s
+FROM iv a JOIN iv b
+  ON a.conv_id < b.conv_id
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+"""
+
+
 def time_rollup_sql(dialect: str) -> str:
     """Hypertable-style multi-granularity rollup: ROLLUP(day, hour) emits the
     hourly, daily and grand-total aggregate rows in one pass. The level tag is

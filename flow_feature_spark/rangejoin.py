@@ -111,3 +111,56 @@ def interval_join_naive(
     for k in entity_cols:
         out = out.drop(intervals[k])
     return out
+
+
+def overlap_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    entity_cols: tuple[str, ...] = (),
+    left_start: str = "l_start_us",
+    left_end: str = "l_end_us",
+    right_start: str = "r_start_us",
+    right_end: str = "r_end_us",
+    bucket_us: int = DEFAULT_BUCKET_US,
+    max_interval_buckets: int = 4096,
+) -> DataFrame:
+    """Interval x interval OVERLAP join: every (left, right) pair whose
+    [start, end] ranges intersect (inclusive ends) — e.g. which sessions ran
+    concurrently. Both sides explode into time buckets and equi-join on
+    (entity..., bucket); a pair sharing several buckets is emitted exactly
+    once via the responsibility rule: only the bucket containing the
+    overlap's LEFT EDGE (max of the two starts) emits the pair. Column names
+    must not collide across sides (rename before calling).
+    """
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+
+    def _explode(df: DataFrame, s_col: str, e_col: str) -> DataFrame:
+        s, e = F.col(s_col), F.col(e_col)
+        df = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+        lo_b, hi_b = F.floor(s / F.lit(bucket_us)), F.floor(e / F.lit(bucket_us))
+        seq = F.when(
+            hi_b - lo_b < max_interval_buckets, F.sequence(lo_b, hi_b)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval spans "),
+                    (hi_b - lo_b + 1).cast("string"),
+                    F.lit(
+                        f" buckets > max_interval_buckets={max_interval_buckets}; "
+                        f"raise bucket_us (current {bucket_us} us)"
+                    ),
+                )
+            ).cast("array<bigint>")
+        )
+        return df.withColumn("__bucket", F.explode(seq))
+
+    li = _explode(left, left_start, left_end)
+    ri = _explode(right, right_start, right_end)
+    keys = [*entity_cols, "__bucket"]
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    overlap = (ls <= re_) & (rs <= le)
+    responsible = F.floor(F.greatest(ls, rs) / F.lit(bucket_us)) == F.col("__bucket")
+    return li.join(ri, on=keys, how="inner").filter(overlap & responsible).drop("__bucket")

@@ -97,3 +97,34 @@ def test_bucketed_plan_is_equi_join(spark):
     iv2, pr2 = _frames(spark, with_entity=False)
     plan2 = interval_join_bucketed(iv2, pr2, entity_cols=(), bucket_us=100)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan2 and "Cartesian" not in plan2
+
+
+def _iv2(spark, rows, side):
+    pre = "l" if side == "l" else "r"
+    return spark.createDataFrame(
+        rows, f"{pre}_id long, {pre}_start_us long, {pre}_end_us long"
+    )
+
+
+def test_overlap_matches_bruteforce(spark):
+    from flow_feature_spark.rangejoin import overlap_join_bucketed
+
+    left = _iv2(spark, [(1, 0, 100), (2, 50, 60), (3, 200, 300), (4, 400, 400)], "l")
+    right = _iv2(spark, [(10, 90, 250), (11, 300, 400), (12, 55, 58), (13, 500, 600)], "r")
+    for bucket_us in (7, 30, 1000):
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in overlap_join_bucketed(left, right, bucket_us=bucket_us).collect()
+        )
+        assert got == [(1, 10), (1, 12), (2, 12), (3, 10), (3, 11), (4, 11)], bucket_us
+
+
+def test_overlap_no_duplicates_on_long_overlap(spark):
+    """Two intervals sharing 100 buckets must emit their pair exactly once
+    (responsibility rule: the bucket holding max(starts) emits)."""
+    from flow_feature_spark.rangejoin import overlap_join_bucketed
+
+    left = _iv2(spark, [(1, 0, 10_000)], "l")
+    right = _iv2(spark, [(2, 500, 9_000)], "r")
+    out = overlap_join_bucketed(left, right, bucket_us=100)
+    assert out.count() == 1
