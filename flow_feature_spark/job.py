@@ -25,13 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--mode",
-        choices=["features", "sessionize", "asof", "stream"],
+        choices=["features", "sessionize", "asof", "stream", "rollup"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
         "directory and emit 72-vectors per closed session "
         "(applyInPandasWithState; requires --checkpoint for the streaming "
-        "checkpointLocation)",
+        "checkpointLocation); rollup: hypertable-style day/hour/total "
+        "activity rollup of the turn table",
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
@@ -180,6 +181,13 @@ def run(argv: list[str] | None = None) -> int:
 
     def compute():
         df = spark.read.parquet(args.input)
+        if args.mode == "rollup":
+            from flow_feature_spark.rollup import time_rollup
+
+            return time_rollup(
+                df, ts_col="ts", entity_col="conv_id",
+                bytes_expr="length(coalesce(text, ''))",
+            )
         if args.per_source and args.mode == "features":
             # pcap mode: the whole FILE is one flow — key by source basename,
             # order rows by time within the file

@@ -242,3 +242,16 @@ def test_job_asof_mode_engines_agree(spark, tmp_path):
     a, b = outs["arrow"].select(cols), outs["jvm"].select(cols)
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_job_rollup_mode(spark, tmp_path):
+    """--mode rollup: day/hour/total activity rollup over the turn table."""
+    inp, out = f"{tmp_path}/in", f"{tmp_path}/out"
+    _write_input(spark, inp)
+    assert job.run(["--input", inp, "--output", out, "--mode", "rollup"]) == 0
+    got = spark.read.parquet(out)
+    lv = {r["lvl"] for r in got.select("lvl").distinct().collect()}
+    assert lv == {"hour", "day", "all"}
+    total = got.filter(got.lvl == "all").collect()
+    n_turns = spark.read.parquet(inp).count()
+    assert len(total) == 1 and total[0]["n_events"] == n_turns
