@@ -403,6 +403,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(ev)
 
 
+def q_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot through Spark's native pivot (explicit value list)."""
+    from flow_feature_spark.rollup import pivot_counts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return pivot_counts(
+        ev, group_col="user_id", pivot_col="event_type",
+        values=list(OQ.PIVOT_VALUES),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings) — Spark side runs
 # the ops modules; oracles in oracle_docs mirror the formulas exactly.
@@ -532,10 +543,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "asof_running_vector": q_asof_running_vector,
         "asof_union_window_api": q_asof_union_window_api,
+        "asof_forward": _sql(OQ.asof_forward_sql),
         "rolling_features": q_rolling_features,
         "interval_join": q_interval_join,
         "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
+        "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
         "tpch_q1": _sql(OQ.tpch_q1_sql),
@@ -589,10 +602,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": OQ.asof_tolerance_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),
+        "asof_forward": OQ.asof_forward_sql(d),
         "rolling_features": OQ.rolling_features_sql(d),
         "interval_join": OQ.interval_join_sql(d),
         "overlap_join": OQ.overlap_join_sql(d),
         "time_rollup": OQ.time_rollup_sql(d),
+        "tool_pivot": OQ.tool_pivot_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),

@@ -496,6 +496,65 @@ FROM winp WHERE side = 0
 """
 
 
+def asof_forward_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """J1 reversed in time: attach the EARLIEST feature vector strictly AFTER
+    each probe (the "next event" join — label-construction side of a training
+    pipeline, where the probe asks what happens next). Same union-and-window
+    build as the backward as-of, with the frame looking forward; identical
+    template text in both dialects (only epoch extraction differs), so the
+    result is hash-exact. Strictness at equal timestamps: features carry
+    side=0 and probes side=1, so under ORDER BY (t_us, side) a feature at
+    the SAME t sorts before the probe and lands outside the probe's
+    1-FOLLOWING frame — only strictly-later features attach."""
+    first_fwd = (
+        "first_value(payload) IGNORE NULLS OVER "
+        "(PARTITION BY entity_id ORDER BY t_us, side "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+        if dialect == "spark"
+        else "first_value(payload IGNORE NULLS) OVER "
+        "(PARTITION BY entity_id ORDER BY t_us, side "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
+    if dialect == "spark":
+        payload = ("named_struct('session_id', session_id, 'n_turns', n_turns, "
+                   "'duration', duration, 'dpl_total_i', dpl_total_i)")
+        null_ts = "cast(NULL AS timestamp_ntz)"
+        s_id = "attached.session_id"
+        n_t = "attached.n_turns"
+        dur = "attached.duration"
+        dpl = "attached.dpl_total_i"
+    else:
+        payload = ("{'session_id': session_id, 'n_turns': n_turns, "
+                   "'duration': duration, 'dpl_total_i': dpl_total_i}")
+        null_ts = "cast(NULL AS timestamp)"
+        s_id = "attached.session_id"
+        n_t = "attached.n_turns"
+        dur = "attached.duration"
+        dpl = "attached.dpl_total_i"
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}, {probes_cte()},
+tagged AS (
+  -- features side=0, probes side=1: at equal t the feature sorts BEFORE the
+  -- probe, outside its 1-FOLLOWING frame -> strict feature_ts > probe_ts
+  SELECT conv_id AS entity_id, feat_us AS t_us, 0 AS side,
+         {payload} AS payload, {null_ts} AS probe_ts
+  FROM feats
+  UNION ALL
+  SELECT entity_id, {_epoch_us(dialect, 'probe_ts')} AS t_us, 1 AS side,
+         NULL AS payload, probe_ts
+  FROM probes
+),
+winp AS (
+  SELECT *, {first_fwd} AS attached
+  FROM tagged
+)
+SELECT entity_id, probe_ts,
+       {s_id} AS session_id, {n_t} AS n_turns,
+       {dur} AS duration, {dpl} AS dpl_total_i
+FROM winp WHERE side = 1
+"""
+
+
 def asof_tolerance_sql(
     dialect: str, gap_us: int = GAP_US, tolerance_s: float = 21600.0
 ) -> str:
@@ -924,6 +983,25 @@ agg AS (
 SELECT conv_id, session_id, cast(n AS bigint) AS n_gaps,
   {",".join(chr(10) + "  " + t for t in fin_terms).lstrip()}
 FROM agg
+"""
+
+
+PIVOT_VALUES = ("purchase", "view", "click")
+
+
+def tool_pivot_sql(dialect: str) -> str:
+    """Long->wide pivot oracle: per-user counts per event_type as columns
+    (mirrors rollup.pivot_counts, which uses Spark's native pivot)."""
+    cols = ",\n       ".join(
+        f"cast(count(*) FILTER (WHERE event_type = '{v}') AS bigint) AS n_{v}"
+        for v in PIVOT_VALUES
+    )
+    return f"""
+SELECT user_id,
+       {cols},
+       cast(count(*) AS bigint) AS n_total
+FROM events
+GROUP BY user_id
 """
 
 

@@ -54,3 +54,34 @@ def time_rollup(
         "bytes_total",
         "n_users",
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str = "user_id",
+    pivot_col: str = "event_type",
+    values: list[str] | None = None,
+) -> DataFrame:
+    """Long->wide reshaping: one row per group, one count column per pivot
+    value (the reference's per-flag counters generalized to arbitrary
+    categorical columns — A8's shape as a reusable operator).
+
+    ``values`` is required-by-convention at scale: passing it skips Spark's
+    driver-side distinct scan of the pivot column, and an unexpected category
+    can't silently add a column mid-pipeline (schema stability). Unlisted
+    categories still count into n_total, so nothing is silently dropped.
+    """
+    if not values:
+        raise ValueError("pivot_counts requires explicit values at scale "
+                         "(implicit pivot scans the column for distincts)")
+    agg = (
+        df.groupBy(group_col)
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+    )
+    out = agg
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint"))
+        out = out.withColumnRenamed(v, f"n_{v}")
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return out.join(totals, on=group_col)

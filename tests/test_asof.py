@@ -151,3 +151,30 @@ def test_tolerance_all_strategies_agree_and_match_brute_force(spark, data):
         else:
             best = max(fresh, key=lambda fr: fr[1])
             assert got == (best[2], best[3], best[4]), (ent, pts)
+
+
+def test_asof_forward_is_strictly_later(spark):
+    """Forward as-of: every attached feature must be the EARLIEST one with
+    feat_ts strictly greater than the probe ts — brute-forced per probe."""
+    from flow_feature_spark import oracle_queries as OQ
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = spark.sql(OQ.asof_forward_sql("spark")).collect()
+    feats = spark.sql(
+        f"WITH {OQ.turns_cte('spark')}, {OQ.sess_cte()}, {OQ.feats_cte()} "
+        "SELECT conv_id, feat_us, session_id FROM feats"
+    ).collect()
+    by_entity: dict[str, list] = {}
+    for f in feats:
+        by_entity.setdefault(f["conv_id"], []).append((f["feat_us"], f["session_id"]))
+    import datetime as dt
+
+    for r in got:
+        p_us = int(r["probe_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        later = sorted(t for t in by_entity.get(r["entity_id"], []) if t[0] > p_us)
+        if r["session_id"] is None:
+            assert not later
+        else:
+            assert later and later[0][1] == r["session_id"]

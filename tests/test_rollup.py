@@ -90,3 +90,22 @@ def test_approx_distinct_scale_twin(spark):
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
+
+
+def test_pivot_counts_semantics(spark):
+    import pytest as _pt
+
+    from flow_feature_spark.rollup import pivot_counts
+
+    df = spark.createDataFrame(
+        [("u1", "a"), ("u1", "a"), ("u1", "b"), ("u2", "b"), ("u2", "zzz")],
+        "uid string, kind string",
+    )
+    out = {
+        r["uid"]: (r["n_a"], r["n_b"], r["n_total"])
+        for r in pivot_counts(df, "uid", "kind", values=["a", "b"]).collect()
+    }
+    # missing category -> 0 (not null); unlisted 'zzz' still counts in total
+    assert out == {"u1": (2, 1, 3), "u2": (0, 1, 2)}
+    with _pt.raises(ValueError, match="explicit values"):
+        pivot_counts(df, "uid", "kind")
