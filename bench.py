@@ -135,8 +135,13 @@ def main() -> int:
         "lag_lead_backfill",
         "rolling_features",
         "interval_join",
+        "overlap_join",
         "time_rollup",
+        "tool_pivot",
         "gap_percentiles",
+        "zscore_normalize",
+        "table_profile",
+        "asof_forward",
         "tpch_q1",
         "broadcast_join",
         "minhash_lsh_pairs",

@@ -218,3 +218,59 @@ def input_fingerprint_for(df: DataFrame) -> str:
     """Cheap deterministic input descriptor: count + schema (for resume
     matching). At 10^12 scale swap in the Iceberg snapshot id."""
     return f"rows={df.count()}|schema={df.schema.simpleString()}"
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (optionally cluster-sorted
+    for scan locality). The operational chore every long-running ingest needs
+    — 10^5 tiny files turn scan planning and the NameNode/manifest layer into
+    the bottleneck long before data volume does.
+
+    Safe rewrite: write to a sibling temp dir first, then swap via the
+    Hadoop FS (old data removed only after the rewrite commits). Returns
+    {files_before, files_after, bytes}.
+    """
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1 for st in fs.listStatus(hpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols)
+    else:
+        df = df.coalesce(n_files) if n_files < files_before else df.repartition(n_files)
+    tmp = path.rstrip("/") + f".compact.{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".precompact")
+    if fs.exists(backup) and not fs.delete(backup, True):
+        raise IOError(f"compaction aborted: stale backup {backup} undeletable")
+    if not fs.rename(hpath, backup):
+        raise IOError(f"compaction aborted: could not stage {path} aside")
+    if not fs.rename(tmp_path, hpath):
+        fs.rename(backup, hpath)  # roll back
+        raise IOError(f"compaction failed: could not move {tmp} into place")
+    fs.delete(backup, True)
+    files_after = sum(
+        1 for st in fs.listStatus(hpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

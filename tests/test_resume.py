@@ -98,3 +98,36 @@ def test_resume_idempotent_with_duplicate_turns(spark, tmppath):
     rows_b = {(r["conv_id"], r["session_id"]): r["n_turns"] for r in b.collect()}
     assert rows_a == rows_b
     assert b.groupBy("conv_id", "session_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_compact_table(spark, tmp_path):
+    """Small-files compaction: many tiny files -> few, same rows, safe swap."""
+    from flow_feature_spark.io import compact_table
+
+    path = f"{tmp_path}/frag"
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+
+    stats = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert sorted(r["id"] for r in after.collect()) == list(range(10_000))
+    # no leftover staging dirs
+    import os
+    leftovers = [d for d in os.listdir(tmp_path) if "compact" in d or "precompact" in d]
+    assert leftovers == []
+
+
+def test_compact_table_sorted(spark, tmp_path):
+    from flow_feature_spark.io import compact_table
+
+    path = f"{tmp_path}/frag2"
+    spark.range(5_000).selectExpr("id", "id % 13 AS k").repartition(25).write.parquet(path)
+    stats = compact_table(spark, path, target_file_bytes=512 * 1024 * 1024, sort_cols=("k", "id"))
+    assert stats["files_after"] == 1
+    got = [r["id"] for r in spark.read.parquet(path).collect()]
+    assert sorted(got) == list(range(5_000))
