@@ -47,7 +47,6 @@ from pyspark.sql import functions as F
 from flow_feature_spark.kernel import _rounder
 from flow_feature_spark.schema import (
     DURATION_EPSILON,
-    FEATURE_NAMES,
     FEATURE_SCHEMA,
 )
 
