@@ -128,3 +128,15 @@ def test_overlap_no_duplicates_on_long_overlap(spark):
     right = _iv2(spark, [(2, 500, 9_000)], "r")
     out = overlap_join_bucketed(left, right, bucket_us=100)
     assert out.count() == 1
+
+
+def test_overlap_plan_is_equi_join(spark):
+    from flow_feature_spark.rangejoin import overlap_join_bucketed
+
+    left = _iv2(spark, [(1, 0, 100)], "l")
+    right = _iv2(spark, [(2, 50, 60)], "r")
+    plan = (
+        overlap_join_bucketed(left, right, bucket_us=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
