@@ -25,14 +25,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--mode",
-        choices=["features", "sessionize", "asof", "stream", "rollup"],
+        choices=["features", "sessionize", "asof", "stream", "rollup", "compact"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
         "directory and emit 72-vectors per closed session "
         "(applyInPandasWithState; requires --checkpoint for the streaming "
         "checkpointLocation); rollup: hypertable-style day/hour/total "
-        "activity rollup of the turn table",
+        "activity rollup of the turn table; compact: rewrite --input in "
+        "place into ~--target-file-mb files (small-files maintenance; "
+        "--output ignored)",
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
@@ -70,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "flow_basic SYN start_time reset analog)")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="--mode compact: target output file size")
     p.add_argument("--stream-engine", choices=["features", "counts"],
                    default="features",
                    help="stream mode: features = full 72-vector per closed "
@@ -122,6 +126,21 @@ def run(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+
+    if args.mode == "compact":
+        from flow_feature_spark.io import compact_table
+
+        stats = compact_table(
+            spark, args.input,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        print(
+            f"compacted {args.input}: {stats['files_before']} -> "
+            f"{stats['files_after']} files ({stats['bytes']} bytes)"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
 
     if args.mode == "stream":
         # the W7 path as an OPERABLE job (not just a tested module): bounded

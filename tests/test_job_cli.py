@@ -255,3 +255,15 @@ def test_job_rollup_mode(spark, tmp_path):
     total = got.filter(got.lvl == "all").collect()
     n_turns = spark.read.parquet(inp).count()
     assert len(total) == 1 and total[0]["n_events"] == n_turns
+
+
+def test_job_compact_mode(spark, tmp_path):
+    """--mode compact: in-place small-files rewrite, rows preserved."""
+    inp = f"{tmp_path}/frag"
+    base = synth_transcripts(spark, n_convs=10, turns_mean=10)
+    base.repartition(30).write.parquet(inp)
+    n = spark.read.parquet(inp).count()
+    assert job.run(["--input", inp, "--output", "ignored", "--mode", "compact"]) == 0
+    files = [f for f in glob.glob(f"{inp}/*.parquet")]
+    assert 0 < len(files) < 30
+    assert spark.read.parquet(inp).count() == n
