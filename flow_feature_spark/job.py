@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "window task per conversation) or via the bucketized "
                    "two-pass pre-assignment (bit-identical ids, no per-conv "
                    "task; use for mega-conversation inputs)")
+    p.add_argument(
+        "--input-format", choices=["parquet", "csv", "json"], default="parquet",
+        help="batch source format (csv expects a header row; csv/json string "
+        "timestamps cast under the UTC session timezone; --mode stream and "
+        "compact are parquet-only)",
+    )
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--csv-header", action="store_true",
                    help="write a header row (reference: print_colname switch)")
@@ -198,8 +204,17 @@ def run(argv: list[str] | None = None) -> int:
 
         kernel_metrics = KernelMetrics.create(spark)
 
+    def _read_input():
+        if args.input_format == "csv":
+            return spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(args.input)
+        if args.input_format == "json":
+            return spark.read.json(args.input)
+        return spark.read.parquet(args.input)
+
     def compute():
-        df = spark.read.parquet(args.input)
+        df = _read_input()
         if args.mode == "rollup":
             from flow_feature_spark.rollup import time_rollup
 

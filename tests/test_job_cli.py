@@ -267,3 +267,29 @@ def test_job_compact_mode(spark, tmp_path):
     files = [f for f in glob.glob(f"{inp}/*.parquet")]
     assert 0 < len(files) < 30
     assert spark.read.parquet(inp).count() == n
+
+
+def test_job_json_and_csv_input(spark, tmp_path):
+    """--input-format json/csv: same features as the parquet path."""
+    pq, js, cs = f"{tmp_path}/pq", f"{tmp_path}/js", f"{tmp_path}/cs"
+    base = synth_transcripts(spark, n_convs=8, turns_mean=8)
+    base.write.parquet(pq)
+    # default JSON timestampFormat truncates to millis; keep the micros
+    base.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(js)
+    base.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")) \
+        .write.option("header", True).csv(cs)
+
+    outs = {}
+    for fmt, inp in (("parquet", pq), ("json", js), ("csv", cs)):
+        out = f"{tmp_path}/out_{fmt}"
+        assert job.run(
+            ["--input", inp, "--output", out, "--input-format", fmt,
+             "--engine", "exact-sql", "--rounding", "r6"]
+        ) == 0
+        df = spark.read.parquet(out)
+        outs[fmt] = sorted(
+            (r["conv_id"], r["session_id"], r["n_turns"], r["fiat_mean"])
+            for r in df.select("conv_id", "session_id", "n_turns", "fiat_mean").collect()
+        )
+    assert outs["json"] == outs["parquet"]
+    assert outs["csv"] == outs["parquet"]
