@@ -197,3 +197,22 @@ def stateful_session_features(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+def stream_dedup_turns(
+    stream_df: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming replay collapse (W5's dedup at ingest time): exactly one row
+    per key survives, with state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts a key's dedup state once the
+    watermark passes its event time, so an unbounded stream does not
+    accumulate unbounded key state (the property plain dropDuplicates lacks
+    on streams). Replays arriving inside the watermark window collapse;
+    replays older than the watermark were already late-dropped upstream.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -209,3 +209,35 @@ def test_event_time_timeout_flushes_open_tails(spark):
         assert v == batch[k], (k, [
             (n, a, b) for n, a, b in zip(FEATURE_NAMES, v, batch[k]) if a != b
         ])
+
+
+def test_stream_dedup_turns_collapses_replay(spark, tmp_path):
+    """availableNow stream over a directory containing a full file AND a
+    replayed subset: the streaming dedup emits each (conv, turn) once."""
+    import glob as _glob
+
+    from flow_feature_spark.streaming import stream_dedup_turns
+    from flow_feature_spark.synth import synth_transcripts
+
+    src = f"{tmp_path}/in"
+    base = synth_transcripts(spark, n_convs=6, turns_mean=8)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    base.filter("turn_idx % 3 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir, cp = f"{tmp_path}/out", f"{tmp_path}/cp"
+    q = (
+        stream_dedup_turns(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    n_unique = base.select("conv_id", "turn_idx").distinct().count()
+    assert got.count() == n_unique
+    assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
