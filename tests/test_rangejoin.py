@@ -140,3 +140,50 @@ def test_overlap_plan_is_equi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_randomized_interval_and_overlap_vs_python_bruteforce(spark):
+    """300 random intervals x 500 random probes (seeded), both joins checked
+    pair-for-pair against a pure-Python brute force in one Spark run."""
+    import random
+
+    rng = random.Random(20260817)
+    ivs = []
+    for i in range(300):
+        s = rng.randrange(0, 50_000)
+        ivs.append((f"e{rng.randrange(5)}", s, s + rng.randrange(0, 3_000), i))
+    prs = [(f"e{rng.randrange(5)}", rng.randrange(0, 55_000)) for _ in range(500)]
+    iv = spark.createDataFrame(ivs, "entity_id string, start_us long, end_us long, tag long")
+    pr = spark.createDataFrame(prs, "entity_id string, ts_us long").distinct()
+
+    want = sorted(
+        (e, t, tag)
+        for (e, t) in {(e, t) for e, t in prs}
+        for (ie, s, en, tag) in ivs
+        if ie == e and s <= t <= en
+    )
+    got = sorted(
+        (r["entity_id"], r["ts_us"], r["tag"])
+        for r in interval_join_bucketed(iv, pr, bucket_us=777).collect()
+    )
+    assert got == want
+
+    from flow_feature_spark.rangejoin import overlap_join_bucketed
+
+    left = iv.selectExpr("entity_id", "start_us AS l_start_us",
+                         "end_us AS l_end_us", "tag AS l_tag")
+    right = iv.selectExpr("entity_id AS r_entity", "start_us AS r_start_us",
+                          "end_us AS r_end_us", "tag AS r_tag")
+    right = right.withColumnRenamed("r_entity", "entity_id")
+    want_ov = sorted(
+        (a[3], b[3])
+        for a in ivs for b in ivs
+        if a[0] == b[0] and a[1] <= b[2] and b[1] <= a[2]
+    )
+    got_ov = sorted(
+        (r["l_tag"], r["r_tag"])
+        for r in overlap_join_bucketed(
+            left, right, entity_cols=("entity_id",), bucket_us=777
+        ).collect()
+    )
+    assert got_ov == want_ov

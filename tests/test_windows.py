@@ -181,3 +181,62 @@ def test_approx_percentile_scale_twin(spark):
     r = spark.sql(sql).collect()[0]
     # accuracy=10000 -> rank error <= n/10000; bound loosely by value range
     assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.01 * (r["hi"] - r["lo"])
+
+
+def test_gap_percentiles_match_numpy_on_random_sessions(spark):
+    """Random gap populations (seeded, one Spark run): the shared-SQL
+    interpolation equals numpy.percentile(method='linear') per session."""
+    import random
+
+    rng = random.Random(20260817)
+    rows, truth = [], {}
+    for conv in range(25):
+        n = rng.randrange(1, 40)
+        gaps = [rng.randrange(1, 10_000_000) for _ in range(n)]
+        ts, acc = [], 0
+        for g in [0] + gaps:
+            acc += g
+            ts.append(acc)
+        for i, t in enumerate(ts):
+            rows.append((f"c{conv}", i, 1_700_000_000_000_000 + t))
+        truth[f"c{conv}"] = tuple(
+            float(np.percentile(gaps, p, method="linear")) / 1e6
+            for p in (50, 90, 99)
+        )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts_us long")
+    sql = """
+    WITH g AS (
+      SELECT conv_id, 1 AS session_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx) AS gap_us
+      FROM {{src}}
+    ),
+    r AS (
+      SELECT conv_id, session_id, gap_us,
+             cast(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY gap_us) AS bigint) - 1 AS rk,
+             cast(count(*) OVER (PARTITION BY conv_id, session_id) AS bigint) AS n
+      FROM g WHERE gap_us IS NOT NULL
+    ),
+    agg AS (
+      SELECT conv_id, session_id, min(n) AS n,
+        max(CASE WHEN rk = cast(floor((n-1)*0.5) AS bigint) THEN gap_us END) AS lo_p50,
+        max(CASE WHEN rk = least(cast(floor((n-1)*0.5) AS bigint) + 1, n - 1) THEN gap_us END) AS hi_p50,
+        max(CASE WHEN rk = cast(floor((n-1)*0.9) AS bigint) THEN gap_us END) AS lo_p90,
+        max(CASE WHEN rk = least(cast(floor((n-1)*0.9) AS bigint) + 1, n - 1) THEN gap_us END) AS hi_p90,
+        max(CASE WHEN rk = cast(floor((n-1)*0.99) AS bigint) THEN gap_us END) AS lo_p99,
+        max(CASE WHEN rk = least(cast(floor((n-1)*0.99) AS bigint) + 1, n - 1) THEN gap_us END) AS hi_p99
+      FROM r GROUP BY conv_id, session_id
+    )
+    SELECT conv_id,
+      (cast(lo_p50 AS double) + (cast(hi_p50 AS double) - cast(lo_p50 AS double)) * ((n-1)*0.5 - floor((n-1)*0.5)))/1e6 AS p50,
+      (cast(lo_p90 AS double) + (cast(hi_p90 AS double) - cast(lo_p90 AS double)) * ((n-1)*0.9 - floor((n-1)*0.9)))/1e6 AS p90,
+      (cast(lo_p99 AS double) + (cast(hi_p99 AS double) - cast(lo_p99 AS double)) * ((n-1)*0.99 - floor((n-1)*0.99)))/1e6 AS p99
+    FROM agg
+    """
+    df.createOrReplaceTempView("rand_turns_v")
+    got = {
+        r["conv_id"]: (r["p50"], r["p90"], r["p99"])
+        for r in spark.sql(sql.format(src="rand_turns_v")).collect()
+    }
+    assert got.keys() == truth.keys()
+    for conv, vals in truth.items():
+        np.testing.assert_allclose(got[conv], vals, rtol=1e-12, atol=1e-9)
