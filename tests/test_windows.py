@@ -208,7 +208,7 @@ def test_gap_percentiles_match_numpy_on_random_sessions(spark):
     WITH g AS (
       SELECT conv_id, 1 AS session_id,
              ts_us - lag(ts_us) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx) AS gap_us
-      FROM {{src}}
+      FROM rand_turns_v
     ),
     r AS (
       SELECT conv_id, session_id, gap_us,
@@ -235,7 +235,7 @@ def test_gap_percentiles_match_numpy_on_random_sessions(spark):
     df.createOrReplaceTempView("rand_turns_v")
     got = {
         r["conv_id"]: (r["p50"], r["p90"], r["p99"])
-        for r in spark.sql(sql.format(src="rand_turns_v")).collect()
+        for r in spark.sql(sql).collect()
     }
     assert got.keys() == truth.keys()
     for conv, vals in truth.items():
