@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
+        "time_cube": _sql(OQ.time_cube_sql),
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
@@ -607,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": OQ.interval_join_sql(d),
         "overlap_join": OQ.overlap_join_sql(d),
         "time_rollup": OQ.time_rollup_sql(d),
+        "time_cube": OQ.time_cube_sql(d),
         "tool_pivot": OQ.tool_pivot_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

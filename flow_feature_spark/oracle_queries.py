@@ -940,6 +940,28 @@ GROUP BY ROLLUP (bucket_day, bucket_hour)
 """
 
 
+def time_cube_sql(dialect: str) -> str:
+    """CUBE variant of the rollup: all four grouping combinations, including
+    the hour-of-day MARGINAL (activity-by-hour across all days — the
+    diurnal profile ROLLUP cannot produce). Same null-marker level tagging;
+    identical template text in both dialects."""
+    return """
+SELECT CASE WHEN bucket_day IS NULL AND bucket_hour IS NULL THEN 'all'
+            WHEN bucket_day IS NULL THEN 'hour_of_day'
+            WHEN bucket_hour IS NULL THEN 'day' ELSE 'day_hour' END AS lvl,
+       bucket_day, bucket_hour,
+       cast(count(*) AS bigint)                         AS n_events,
+       cast(sum(length(coalesce(props, ''))) AS bigint) AS bytes_total
+FROM (
+  SELECT cast(date_trunc('day', ts) AS timestamp) AS bucket_day,
+         cast(hour(ts) AS int)                    AS bucket_hour,
+         props
+  FROM events
+) t
+GROUP BY CUBE (bucket_day, bucket_hour)
+"""
+
+
 def gap_percentiles_sql(dialect: str, gap_us: int = GAP_US) -> str:
     """Per-session exact gap percentiles (p50/p90/p99) via deterministic
     linear interpolation written out identically in both dialects: rank the
