@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--mode",
-        choices=["features", "sessionize", "asof", "stream", "rollup", "compact"],
+        choices=["features", "sessionize", "asof", "stream", "rollup",
+                 "compact", "profile"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
@@ -34,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
         "checkpointLocation); rollup: hypertable-style day/hour/total "
         "activity rollup of the turn table; compact: rewrite --input in "
         "place into ~--target-file-mb files (small-files maintenance; "
-        "--output ignored)",
+        "--output ignored); profile: per-column ingest-QA stats of --input",
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
@@ -222,6 +223,10 @@ def run(argv: list[str] | None = None) -> int:
                 df, ts_col="ts", entity_col="conv_id",
                 bytes_expr="length(coalesce(text, ''))",
             )
+        if args.mode == "profile":
+            from flow_feature_spark.profile import profile_table
+
+            return profile_table(df)
         if args.per_source and args.mode == "features":
             # pcap mode: the whole FILE is one flow — key by source basename,
             # order rows by time within the file

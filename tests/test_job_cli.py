@@ -293,3 +293,17 @@ def test_job_json_and_csv_input(spark, tmp_path):
         )
     assert outs["json"] == outs["parquet"]
     assert outs["csv"] == outs["parquet"]
+
+
+def test_job_profile_mode(spark, tmp_path):
+    """--mode profile: per-column QA stats of any table."""
+    inp, out = f"{tmp_path}/in", f"{tmp_path}/out"
+    _write_input(spark, inp)
+    assert job.run(["--input", inp, "--output", out, "--mode", "profile"]) == 0
+    got = {r["col"]: r for r in spark.read.parquet(out).collect()}
+    src = spark.read.parquet(inp)
+    assert set(got) == set(src.columns)
+    n = src.count()
+    assert all(r["n"] == n for r in got.values())
+    assert got["conv_id"]["n_distinct"] == src.select("conv_id").distinct().count()
+    assert got["ts"]["min_num"] is not None and got["conv_id"]["min_str"] is not None
