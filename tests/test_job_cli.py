@@ -307,3 +307,33 @@ def test_job_profile_mode(spark, tmp_path):
     assert all(r["n"] == n for r in got.values())
     assert got["conv_id"]["n_distinct"] == src.select("conv_id").distinct().count()
     assert got["ts"]["min_num"] is not None and got["conv_id"]["min_str"] is not None
+
+
+def test_profile_single_scan_and_matches_sql_twin(spark, tmp_path):
+    """The engine profiler costs ONE FileScan regardless of column count
+    (the union-branch formulation would scan once per column), and its
+    output matches the cross-engine SQL twin on the events table."""
+    from flow_feature_spark.profile import profile_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    plan = profile_table(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2  # one scan node
+    got = {r["col"]: r for r in profile_table(ev).collect()}
+
+    from flow_feature_spark import oracle_queries as OQ
+
+    ev.createOrReplaceTempView("events")
+    want = {r["col"]: r for r in spark.sql(OQ.table_profile_sql("spark")).collect()}
+    assert set(want) <= set(got)
+    for col, w in want.items():
+        g = got[col]
+        assert (g["n"], g["n_null"], g["n_distinct"]) == (w["n"], w["n_null"], w["n_distinct"])
+        for f in ("min_str", "max_str"):
+            assert g[f] == w[f], (col, f)
+        # the SQL twin r6-rounds numerics; compare at that precision
+        for f in ("min_num", "max_num"):
+            if w[f] is None:
+                assert g[f] is None, (col, f)
+            else:
+                assert abs(g[f] - w[f]) < 1e-5, (col, f)
