@@ -371,9 +371,12 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     turns = _events_turns(spark, sf_dir)
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
+    # persist: the a/b sides below are differently-aliased projections, so
+    # ReuseExchange does NOT fire (measured: 2 scans) — cache the tiny
+    # session-interval table so the expensive derivation runs once
     iv = sess.groupBy("conv_id", "session_id").agg(
         F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
-    )
+    ).persist()
     a = iv.select(
         F.col("conv_id").alias("conv_a"), F.col("session_id").alias("session_a"),
         F.col("start_us").alias("l_start_us"), F.col("end_us").alias("l_end_us"),
