@@ -119,12 +119,20 @@ def write_checkpoint(
     input_fingerprint: str = "",
     metrics: KernelMetrics | None = None,
     mode: str = "overwrite",
+    partition_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Write df as parquet + commit a manifest ATOMICALLY afterwards.
 
     The manifest is the commit marker: readers treat data without one as an
     aborted write (the resume path recomputes). Equivalent to an Iceberg
     snapshot commit for the single-writer case.
+
+    ``partition_cols``: hive-style directory partitioning (e.g. an event-date
+    column). At 100 TB every downstream time-sliced query prunes whole
+    partition directories at planning time instead of scanning the table —
+    the parquet analog of Iceberg's partition spec. The columns must be
+    low-cardinality (dates, sources); partitioning by a high-cardinality key
+    explodes the file count.
     """
     spark = df.sparkSession
     # row count rides on the write itself via observe() — no second scan of
@@ -134,8 +142,17 @@ def write_checkpoint(
     from pyspark.sql import functions as F
 
     obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(mode).parquet(path)
+    w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
     n = int(obs.get["rows"])
+    if mode != "overwrite":
+        # the Observation counted only THIS batch; with mode='append' the
+        # manifest must record the table's total row count, so pay one
+        # re-read — append callers are incremental jobs where the extra
+        # count is small relative to the history being preserved
+        n = spark.read.parquet(path).count()
     manifest = {
         "job": job,
         "rows": n,
@@ -175,10 +192,12 @@ def resume_or_compute(
     compute,
     input_fingerprint: str = "",
     metrics: KernelMetrics | None = None,
+    partition_cols: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, bool]:
     """Return (df, resumed). Valid manifest with matching job+fingerprint ->
     read the checkpoint; otherwise run ``compute()`` and commit it (with the
-    accumulator bundle's per-partition lineage in the manifest, if given)."""
+    accumulator bundle's per-partition lineage in the manifest, if given,
+    and hive-partitioned by ``partition_cols`` if given)."""
     m = read_manifest(path, spark)
     if (
         m is not None
@@ -187,7 +206,10 @@ def resume_or_compute(
     ):
         return spark.read.parquet(path), True
     df = compute()
-    write_checkpoint(df, path, job, input_fingerprint, metrics=metrics)
+    write_checkpoint(
+        df, path, job, input_fingerprint, metrics=metrics,
+        partition_cols=partition_cols,
+    )
     return spark.read.parquet(path), False
 
 

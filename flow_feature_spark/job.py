@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
         "compact are parquet-only)",
     )
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated output columns for hive-style "
+                   "directory partitioning of the parquet sink (and the "
+                   "checkpoint table); each entry is either an existing "
+                   "column name or name=sql_expr to derive one (e.g. "
+                   "event_date=to_date(ts)). Use a low-cardinality column "
+                   "so downstream time-sliced reads prune whole partition "
+                   "directories at planning time (parquet analog of an "
+                   "Iceberg partition spec)")
     p.add_argument("--csv-header", action="store_true",
                    help="write a header row (reference: print_colname switch)")
     p.add_argument("--checkpoint", help="checkpoint dir: resume if a valid manifest exists")
@@ -308,6 +317,33 @@ def run(argv: list[str] | None = None) -> int:
             return asof_join_fast(payload, probes, strict=True)
         return feats
 
+    partition_cols: tuple[str, ...] | None = None
+    if args.partition_by:
+        if args.format == "csv":
+            raise SystemExit("--partition-by applies to the parquet sink only")
+        names, derived = [], []
+        for entry in args.partition_by.split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            if "=" in entry:
+                name, expr = entry.split("=", 1)
+                names.append(name.strip())
+                derived.append((name.strip(), expr.strip()))
+            else:
+                names.append(entry)
+        partition_cols = tuple(names)
+        if derived:
+            inner_compute = compute
+
+            def compute():  # noqa: F811 — deliberate wrap
+                from pyspark.sql import functions as F
+
+                out = inner_compute()
+                for name, expr in derived:
+                    out = out.withColumn(name, F.expr(expr))
+                return out
+
     if args.checkpoint:
         # every semantics-affecting flag participates: rerunning with any of
         # them changed must recompute, not return the stale checkpoint
@@ -320,10 +356,13 @@ def run(argv: list[str] | None = None) -> int:
             f"ps={args.per_source}",
             f"rt={args.reset_tool}",
             f"probes={args.probes if args.mode == 'asof' else None}",
+            f"fmt={args.input_format}",
+            f"pb={args.partition_by}",
         ])
         out, resumed = resume_or_compute(
             spark, args.checkpoint, args.mode, compute,
             input_fingerprint=fingerprint, metrics=kernel_metrics,
+            partition_cols=partition_cols,
         )
         print(f"checkpoint {'resumed' if resumed else 'computed'}: {out.count()} rows")
     else:
@@ -343,7 +382,10 @@ def run(argv: list[str] | None = None) -> int:
             args.output
         )
     else:
-        out.write.mode("overwrite").parquet(args.output)
+        w = out.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(args.output)
     print(f"wrote {args.output}")
     if owns_session:
         spark.stop()

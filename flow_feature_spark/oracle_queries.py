@@ -1013,7 +1013,8 @@ PIVOT_VALUES = ("purchase", "view", "click")
 
 def tool_pivot_sql(dialect: str) -> str:
     """Long->wide pivot oracle: per-user counts per event_type as columns
-    (mirrors rollup.pivot_counts, which uses Spark's native pivot)."""
+    (mirrors rollup.pivot_counts, which emits the same SUM(CASE)-per-category
+    conditional aggregate — one scan, one shuffle on both engines)."""
     cols = ",\n       ".join(
         f"cast(count(*) FILTER (WHERE event_type = '{v}') AS bigint) AS n_{v}"
         for v in PIVOT_VALUES

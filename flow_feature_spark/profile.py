@@ -52,11 +52,21 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     aggs: list[Column] = []
     for i, field in enumerate(df.schema.fields):
         c = F.col(f"`{field.name}`")
+        # Spark cannot hash/group MapType values, so COUNT(DISTINCT map_col)
+        # throws AnalysisException — count distinct over the key-sorted entry
+        # array instead (array<struct> IS hashable, and sorting makes
+        # logically-equal maps compare equal regardless of insertion order),
+        # preserving the "cardinality only" contract for arbitrary schemas
+        dc = (
+            F.array_sort(F.map_entries(c))
+            if isinstance(field.dataType, T.MapType)
+            else c
+        )
         mn, mx, smn, smx = _typed_minmax(c, field.dataType)
         aggs += [
             F.count(F.lit(1)).cast("bigint").alias(f"_n_{i}"),
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"_nn_{i}"),
-            distinct(c).cast("bigint").alias(f"_nd_{i}"),
+            distinct(dc).cast("bigint").alias(f"_nd_{i}"),
             mn.cast("double").alias(f"_mn_{i}"),
             mx.cast("double").alias(f"_mx_{i}"),
             smn.alias(f"_smn_{i}"),

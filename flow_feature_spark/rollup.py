@@ -74,20 +74,17 @@ def pivot_counts(
     if not values:
         raise ValueError("pivot_counts requires explicit values at scale "
                          "(implicit pivot scans the column for distincts)")
-    # ONE corpus scan: pre-aggregate to (group, category) counts — a
-    # |groups| x |categories| table — and persist it so the pivot branch and
-    # the totals branch both read the tiny intermediate instead of each
-    # rescanning the raw table (Catalyst does not share scans across plan
-    # branches). The cached frame is vocabulary-sized, not corpus-sized.
-    base = (
-        df.groupBy(group_col, pivot_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
-        .persist()
-    )
-    agg = base.groupBy(group_col).pivot(pivot_col, values).agg(F.sum("__cnt"))
-    out = agg
-    for v in values:
-        out = out.withColumn(v, F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint"))
-        out = out.withColumnRenamed(v, f"n_{v}")
-    totals = base.groupBy(group_col).agg(F.sum("__cnt").cast("bigint").alias("n_total"))
-    return out.join(totals, on=group_col)
+    # ONE scan, ONE shuffle, ZERO caches: with the category list explicit the
+    # pivot IS just conditional aggregation, so emit one SUM(CASE) per
+    # category plus the unconditional total in a single groupBy. This
+    # replaces the earlier pre-aggregate+pivot+join formulation, whose
+    # persisted intermediate leaked cached storage for the session lifetime
+    # and whose totals join was a second shuffle.
+    aggs = [
+        F.sum(F.when(F.col(pivot_col) == F.lit(v), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{v}")
+        for v in values
+    ]
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return df.groupBy(group_col).agg(*aggs)

@@ -50,6 +50,76 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
+def test_string_ids_dictionary_encoded(spark):
+    """Non-integral doc ids (content hashes, URLs) must cluster correctly —
+    the old cast('long') NULLed them and silently dropped every edge.
+    Component = lexicographic min original id, deterministically."""
+    e = spark.createDataFrame(
+        [("sha_b", "sha_c"), ("sha_a", "sha_b"), ("url_x", "url_y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {
+        "sha_a": "sha_a", "sha_b": "sha_a", "sha_c": "sha_a",
+        "url_x": "url_x", "url_y": "url_x",
+    }
+    # repartitioning must not change the (nondeterministically encoded,
+    # deterministically decoded) result
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(e.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_string_ids_dedup_clusters(spark):
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docC", "docB")], "doc_a string, doc_b string"
+    )
+    rows = {r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {
+        "docA": ("docA", True),
+        "docB": ("docA", False),
+        "docC": ("docA", False),
+    }
+
+
+def test_unsupported_id_type_raises(spark):
+    e = spark.createDataFrame([(1.5, 2.5)], "src double, dst double")
+    with pytest.raises(TypeError, match="integral or string"):
+        connected_components(e)
+
+
+def test_one_job_per_iteration(spark):
+    """The convergence count must ride the same action that materializes the
+    round's labels — one Spark job per propagation round (plus the two setup
+    jobs: edge persist-count and the final-round detection), not two."""
+    sc = spark.sparkContext
+    n = 30  # path graph: worst-case diameter, many rounds
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    e.count()  # warm any scan-side lazies outside the measured group
+    # with AQE on, ONE action fans out into one job per shuffle stage, and a
+    # BroadcastExchange launches its own driver-side collect job — disable
+    # both for the measurement so Spark-job count == action count
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bct = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc_jobcount", "cc job-count assertion")
+    try:
+        connected_components(e, max_iter=40, checkpoint_every=1000).count()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bct)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobcount"))
+    # rounds needed for a 31-node path with pointer jumping is ~log2(30)+c;
+    # allow: 1 (sym persist count) + rounds (one job each) + 1 (caller count).
+    # The old two-jobs-per-round shape would roughly double this.
+    assert jobs <= 12, f"expected <=12 jobs for the whole run, saw {jobs}"
+
+
 def test_dedup_clusters_canonical_flag(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (30, 31)], "doc_a long, doc_b long"

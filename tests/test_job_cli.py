@@ -337,3 +337,46 @@ def test_profile_single_scan_and_matches_sql_twin(spark, tmp_path):
                 assert g[f] is None, (col, f)
             else:
                 assert abs(g[f] - w[f]) < 1e-5, (col, f)
+
+
+def test_profile_map_and_struct_columns(spark):
+    """Arbitrary-schema contract: MapType columns (unhashable in Spark
+    aggregates) must profile via their key-sorted entry arrays instead of
+    throwing AnalysisException; insertion order must not split cardinality."""
+    from flow_feature_spark.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": 2}, (7, "x")),
+            (2, {"b": 2, "a": 1}, (7, "x")),   # same map, other order
+            (3, {"c": 3}, None),
+            (4, None, (8, "y")),
+        ],
+        "id int, props map<string,int>, meta struct<k:int,v:string>",
+    )
+    got = {r["col"]: r for r in profile_table(df).collect()}
+    assert got["props"]["n_distinct"] == 2  # {a:1,b:2} once, {c:3} once
+    assert got["props"]["n_null"] == 1
+    assert got["props"]["min_num"] is None and got["props"]["min_str"] is None
+    assert got["meta"]["n_distinct"] == 2
+    # the approximate path must survive the same schema
+    hll = {r["col"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert hll["props"]["n_distinct"] >= 1
+
+
+def test_profile_hll_path_drops_expand(spark):
+    """The 10^12-row story: exact multi-column COUNT(DISTINCT) plans an
+    Expand (input duplicated once per distinct column inside the aggregate);
+    exact_distinct=False must swap in HLL sketches and drop the Expand from
+    the physical plan entirely."""
+    from flow_feature_spark.profile import profile_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact_plan = profile_table(ev)._jdf.queryExecution().executedPlan().toString()
+    hll_plan = (
+        profile_table(ev, exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in hll_plan
+    assert "approx_count_distinct" in hll_plan
