@@ -210,6 +210,75 @@ def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 as a driver-checkable query: Structured Streaming session_window
+    sessionization (availableNow over the events parquet, complete-mode
+    memory sink) must equal the batch lag+cumsum sessionizer bit-for-bit —
+    shares sessionize_counts' DuckDB oracle.
+
+    Gap translation: the batch rule opens a new session when the inter-turn
+    gap is STRICTLY GREATER than gap_us, while session_window(ts, g) splits
+    at gap >= g — so the streaming gap is gap_us + 1 microsecond, making the
+    two split conditions identical. Session ids are assigned afterwards in
+    batch (row_number over the closed windows per conv, ordered by window
+    start — windows are disjoint, so this reproduces the cumulative-sum
+    numbering); the exact-µs aggregates (counts/sums/min/max) all come from
+    the stream."""
+    import uuid as _uuid
+
+    _prep(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        # the streaming file source needs a DIRECTORY basePath; the glob pins
+        # it to the one table so sibling parquet files never leak in
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr(
+            "cast(user_id as string) as conv_id",
+            "cast(ts as timestamp) as ts",
+            "unix_micros(cast(ts as timestamp)) as ts_us",
+            "(event_type = 'purchase') as is_fwd",
+            "cast(length(coalesce(props,'')) as bigint) as plen",
+        )
+    )
+    agg = (
+        stream.groupBy(
+            F.col("conv_id"),
+            F.session_window("ts", f"{OQ.GAP_US + 1} microseconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("turn_cnt"),
+            F.sum("plen").cast("bigint").alias("byte_cnt"),
+            F.min("ts_us").alias("min_us"),
+            F.max("ts_us").alias("max_us"),
+            F.count_if(F.col("is_fwd")).cast("bigint").alias("fwd_cnt"),
+        )
+    )
+    name = f"stream_counts_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r6 = OQ.r6
+    return spark.table(name).selectExpr(
+        "conv_id",
+        "cast(row_number() over (partition by conv_id order by sw.start) "
+        "as bigint) as session_id",
+        "turn_cnt",
+        "byte_cnt",
+        f"{r6('min_us/1e6')} as start_sec",
+        f"{r6('max_us/1e6')} as end_sec",
+        f"{r6('(max_us - min_us)/1e6 + 0.0001')} as duration",
+        f"{r6('cast(byte_cnt as double)/turn_cnt')} as avg_len",
+        "fwd_cnt",
+    )
+
+
 def q_session_features_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted partial-moment path: exact integer/decimal bucket moments merged
     with the kernel's float-op sequence -> bit-identical to the unsalted
@@ -532,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript feature engine (SQL-templated pairs)
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         "sessionize_bucketed": q_sessionize_bucketed,
+        "stream_counts": q_stream_counts,
         "session_features_sql": _sql(OQ.feature_vector_sql),
         "lag_lead_backfill": _sql(OQ.lag_lead_backfill_sql),
         "cumulative_running": _sql(OQ.cumulative_sql),
@@ -593,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sessionize_counts": OQ.sessionize_counts_sql(d),
         "sessionize_bucketed": OQ.sessionize_counts_sql(d),
+        "stream_counts": OQ.sessionize_counts_sql(d),
         "session_features_sql": OQ.feature_vector_sql(d),
         "lag_lead_backfill": OQ.lag_lead_backfill_sql(d),
         "cumulative_running": OQ.cumulative_sql(d),

@@ -44,6 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-hamming", type=int, default=3, help="simhash radius")
     p.add_argument("--minhash-k", type=int, default=None,
                    help="minhash signature length (default: production k)")
+    p.add_argument("--minhash-bands", type=int, default=None,
+                   help="LSH band count; rows per band = k/bands sets the "
+                   "similarity threshold s* = (1/bands)^(bands/k) — lower a "
+                   "custom --minhash-k's band count too, or r collapses "
+                   "toward 1 and everything pairs")
+    p.add_argument("--fast-minhash", action="store_true",
+                   help="use the codegen'd xxhash64 signature family "
+                   "(minhash_signatures_fast) — ~10x faster at corpus scale "
+                   "(BENCH/CORPUS_SCALE.md); not the cross-engine md5 family")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     p.add_argument("--csv-header", action="store_true")
     p.add_argument("--master", default=None)
@@ -54,11 +63,26 @@ def build_parser() -> argparse.ArgumentParser:
 def _pairs(df, args):
     from flow_feature_spark.ops import dedup as dd
 
+    # the dedup ops key on 'doc_id'; honor --id-col by renaming in (pair
+    # output columns stay doc_a/doc_b, carrying the original id VALUES —
+    # string ids included, cluster.py dictionary-encodes them)
+    if args.id_col != "doc_id":
+        if "doc_id" in df.columns:
+            raise SystemExit(
+                f"--id-col {args.id_col} conflicts with an existing doc_id column"
+            )
+        df = df.withColumnRenamed(args.id_col, "doc_id")
     if args.method == "simhash":
         return dd.simhash_pairs(
             df, text_col=args.text_col, max_hamming=args.max_hamming
         ).select("doc_a", "doc_b")
     kw = {"k": args.minhash_k} if args.minhash_k else {}
+    if args.minhash_bands:
+        kw["bands"] = args.minhash_bands
+    if args.fast_minhash:
+        kw["signatures"] = dd.minhash_signatures_fast(
+            df, text_col=args.text_col, k=args.minhash_k or dd.N_MINHASH
+        )
     return dd.minhash_lsh_candidates(df, text_col=args.text_col, **kw).select(
         "doc_a", "doc_b"
     )
@@ -105,6 +129,8 @@ def run(argv: list[str] | None = None) -> int:
         out = _pairs(docs, args)
     elif args.op == "clusters":
         out = dedup_clusters(_pairs(docs, args))
+        if args.id_col != "doc_id":
+            out = out.withColumnRenamed("doc_id", args.id_col)
     else:  # dedup: drop non-canonical members of every duplicate cluster
         losers = (
             dedup_clusters(_pairs(docs, args))

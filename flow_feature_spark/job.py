@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="--mode compact: target output file size")
+    p.add_argument("--hll", action="store_true",
+                   help="--mode profile: approx_count_distinct sketches "
+                   "instead of exact COUNT(DISTINCT) — drops the Expand from "
+                   "the plan; the default for 10^12-row tables "
+                   "(BENCH/PROFILE_SCALE.md)")
     p.add_argument("--stream-engine", choices=["features", "counts"],
                    default="features",
                    help="stream mode: features = full 72-vector per closed "
@@ -235,7 +240,7 @@ def run(argv: list[str] | None = None) -> int:
         if args.mode == "profile":
             from flow_feature_spark.profile import profile_table
 
-            return profile_table(df)
+            return profile_table(df, exact_distinct=not args.hll)
         if args.per_source and args.mode == "features":
             # pcap mode: the whole FILE is one flow — key by source basename,
             # order rows by time within the file

@@ -161,15 +161,56 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_fast(
+    df: DataFrame, text_col: str = "text", k: int = N_MINHASH
+) -> DataFrame:
+    """Scale-path signatures (same output shape as ``minhash_signatures``):
+    ONE xxhash64 per shingle, then the k-member family derived as
+    ``h_i = xxhash64(shingle_hash, i)`` inside array transforms — no
+    shingle x seed ROW EXPLOSION (the md5 path materializes |shingles| * k
+    rows and shuffles them through a pivot; this computes each doc's whole
+    signature in a single projection, shuffle-free). At 10^6 docs x 40
+    shingles x k=128 that is the difference between 5 * 10^9 cheap int64
+    hashes in-row and 5 * 10^9 exploded rows + md5(string) each.
+
+    NOT cross-engine: xxhash64 is Spark-native, so the DuckDB oracle keeps
+    pinning the md5 family (``minhash_signatures``) at small k; this is the
+    production path the corpus-scale bench exercises. Both are uniform
+    2-universal-style families over the same shingle sets, so the measured
+    LSH precision/recall curves (BENCH/MINHASH_QUALITY.md) carry over.
+
+    Shape note: this is deliberately explode -> 128 x min(xxhash64(h, i))
+    hash-aggregate, NOT array_min(transform(...)) per seed — higher-order
+    functions are CodegenFallback (interpreted, boxed per element), measured
+    ~10x slower than the codegen'd aggregate at 10^5 docs; the groupBy is
+    cheap because exploded rows of a doc are co-located, so map-side partial
+    min collapses the shuffle to ~one row per doc before it moves."""
+    sh = df.select(
+        F.col("doc_id"), shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     k: int = N_MINHASH,
     bands: int = N_BANDS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash (equi-join on band hash)."""
+    """Candidate near-dup pairs via banded MinHash (equi-join on band hash).
+
+    ``signatures``: pre-computed signature table (doc_id, mh0..mh{k-1}) — pass
+    ``minhash_signatures_fast(...)`` output for the shuffle-free scale path;
+    defaults to the cross-engine md5 family."""
     rows = k // bands
-    sig = minhash_signatures(df, text_col, k)
+    sig = signatures if signatures is not None else minhash_signatures(df, text_col, k)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]

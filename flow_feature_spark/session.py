@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # skew-split knobs surfaced on purpose: the bucketized range join's
+        # residual skew surface is a hot (entity, time-bucket) cell; AQE
+        # splits any sort-merge/shuffled-hash partition larger than
+        # max(thresholdInBytes, factor * median) into advisory-sized reader
+        # slices (demonstrated in BENCH/RANGEJOIN.md, tools/
+        # bench_rangejoin_skew.py). Defaults shown; lower both on clusters
+        # whose hot cells are smaller than 256 MB.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -80,3 +80,35 @@ def test_pairs_clusters_dedup_composition(spark, docs_path, tmp_path):
     assert 0 in kept and 41 not in kept
     dropped = {d for d, (_, canon) in by_doc.items() if not canon}
     assert kept == set(range(43)) - {40} - dropped  # doc ids 0..39,41,42 minus losers
+
+
+def test_string_id_col_and_fast_minhash(spark, tmp_path):
+    """--id-col with STRING ids (content hashes) through pairs -> clusters ->
+    dedup: ids survive the dictionary-encoded clustering, canonical = lexical
+    min; --fast-minhash takes the xxhash64 signature path."""
+    path = str(tmp_path / "docs")
+    rows = [(f"sha{i:03d}", f"unique document number {i} with body text {i * 17}")
+            for i in range(30)]
+    rows.append(("sha900", "unique document number 0 with body text 0"))
+    spark.createDataFrame(rows, "content_id string, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    cout, dout = f"{tmp_path}/c", f"{tmp_path}/d"
+    assert corpus_job.run([
+        "--input", path, "--output", cout, "--op", "clusters",
+        "--id-col", "content_id", "--method", "minhash",
+        "--minhash-k", "16", "--minhash-bands", "4", "--fast-minhash",
+    ]) == 0
+    cl = {r["content_id"]: (r["component"], r["is_canonical"])
+          for r in spark.read.parquet(cout).collect()}
+    assert cl["sha000"] == ("sha000", True)
+    assert cl["sha900"] == ("sha000", False)
+
+    assert corpus_job.run([
+        "--input", path, "--output", dout, "--op", "dedup",
+        "--id-col", "content_id", "--method", "minhash",
+        "--minhash-k", "16", "--minhash-bands", "4", "--fast-minhash",
+    ]) == 0
+    kept = {r["content_id"] for r in spark.read.parquet(dout).collect()}
+    assert "sha000" in kept and "sha900" not in kept and len(kept) == 30

@@ -302,3 +302,43 @@ def test_default_codec_unchanged_by_injection_support(spark, docs):
     dec = mm.decode_media(media).collect()
     for r in dec:
         assert r["n_frames"] == 1 + r["byte_len"] % 16
+
+
+def test_minhash_fast_signatures_shape_and_recall(spark, docs):
+    """The xxhash64 scale path: same (doc_id, mh0..mh{k-1}) shape as the md5
+    family, identical-doc signatures identical, and banded candidates through
+    ``signatures=`` recover planted duplicates exactly like the default path."""
+    planted = docs.limit(8).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(planted)
+    sig = dd.minhash_signatures_fast(both, k=16)
+    assert sig.columns == ["doc_id"] + [f"mh{i}" for i in range(16)]
+    rows = {r["doc_id"]: tuple(r)[1:] for r in sig.collect()}
+    # identical text -> identical signature
+    same = [d for d in rows if d >= 1_000_000 and (d - 1_000_000) in rows]
+    assert same and all(rows[d] == rows[d - 1_000_000] for d in same)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(
+            both, k=16, bands=4, signatures=dd.minhash_signatures_fast(both, k=16)
+        ).collect()
+    }
+    hits = sum(1 for a, b in cand if b == a + 1_000_000)
+    assert hits >= 6
+
+
+def test_minhash_fast_mutation_lowers_collisions(spark):
+    """Signature distance tracks Jaccard: a heavily-mutated variant must share
+    fewer minhash positions with its base than a lightly-mutated one."""
+    base_words = [f"w{i}" for i in range(120)]
+    light = list(base_words); light[5] = "x5"            # ~97% shingles kept
+    heavy = [w if i % 3 else f"y{i}" for i, w in enumerate(base_words)]
+    df = spark.createDataFrame(
+        [(0, " ".join(base_words)), (1, " ".join(light)), (2, " ".join(heavy))],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: tuple(row)[1:]
+         for row in dd.minhash_signatures_fast(df, k=64).collect()}
+    match_light = sum(a == b for a, b in zip(r[0], r[1]))
+    match_heavy = sum(a == b for a, b in zip(r[0], r[2]))
+    assert match_light > match_heavy
+    assert match_light >= 40  # J ~ 0.95 -> most positions agree

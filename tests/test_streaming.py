@@ -241,3 +241,18 @@ def test_stream_dedup_turns_collapses_replay(spark, tmp_path):
     n_unique = base.select("conv_id", "turn_idx").distinct().count()
     assert got.count() == n_unique
     assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_driver_stream_counts_equals_batch_oracle(spark):
+    """The W7 driver query: availableNow session_window sessionization over
+    the sf0.001 events table is BIT-IDENTICAL to the batch lag+cumsum
+    sessionize_counts SQL (same oracle the driver hashes)."""
+    import __spark_entry__ as entry
+    from flow_feature_spark import oracle_queries as OQ
+
+    got = sorted(map(tuple, entry.q_stream_counts(spark, entry.SF_SMOKE).collect()))
+    spark.read.parquet(f"{entry.SF_SMOKE}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    want = sorted(map(tuple, spark.sql(OQ.sessionize_counts_sql("spark")).collect()))
+    assert got == want and len(got) > 0
