@@ -242,6 +242,31 @@ def input_fingerprint_for(df: DataFrame) -> str:
     return f"rows={df.count()}|schema={df.schema.simpleString()}"
 
 
+def _hive_partition_cols(fs, jvm, hpath) -> tuple[str, ...]:
+    """Ordered hive partition columns of a parquet directory, inferred from
+    the first `col=value` directory chain (empty tuple for a flat table)."""
+    cols: list[str] = []
+    cur = hpath
+    while True:
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(cur)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            return tuple(cols)
+        cols.append(subdirs[0].getName().split("=", 1)[0])
+        cur = subdirs[0]
+
+
+def _count_parquet_files(fs, hpath) -> int:
+    it, n = fs.listFiles(hpath, True), 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -254,28 +279,41 @@ def compact_table(
     — 10^5 tiny files turn scan planning and the NameNode/manifest layer into
     the bottleneck long before data volume does.
 
+    Hive-partitioned directories (``col=value`` layout, e.g. from
+    ``write_checkpoint(partition_cols=...)``) keep their layout: rows are
+    hash-clustered on the partition columns so each partition value rewrites
+    to one file (a date partition bigger than ``target_file_bytes`` stays one
+    file — split such tables by a finer partition spec, not by compaction).
+
     Safe rewrite: write to a sibling temp dir first, then swap via the
     Hadoop FS (old data removed only after the rewrite commits). Returns
-    {files_before, files_after, bytes}.
+    {files_before, files_after, bytes, partition_cols}.
     """
     jvm = spark.sparkContext._jvm  # noqa: SLF001
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
     summary = fs.getContentSummary(hpath)
     total_bytes = summary.getLength()
-    files_before = sum(
-        1 for st in fs.listStatus(hpath)
-        if st.isFile() and st.getPath().getName().endswith(".parquet")
-    )
+    part_cols = _hive_partition_cols(fs, jvm, hpath)
+    files_before = _count_parquet_files(fs, hpath)
     n_files = max(1, -(-total_bytes // target_file_bytes))
 
     df = spark.read.parquet(path)
-    if sort_cols:
-        df = df.repartitionByRange(n_files, *sort_cols)
-    else:
-        df = df.coalesce(n_files) if n_files < files_before else df.repartition(n_files)
     tmp = path.rstrip("/") + f".compact.{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(tmp)
+    if part_cols:
+        # co-locate each partition value into one task -> one output file per
+        # value per partition directory
+        if sort_cols:
+            df = df.repartition(*part_cols).sortWithinPartitions(*sort_cols)
+        else:
+            df = df.repartition(*part_cols)
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    else:
+        if sort_cols:
+            df = df.repartitionByRange(n_files, *sort_cols)
+        else:
+            df = df.coalesce(n_files) if n_files < files_before else df.repartition(n_files)
+        df.write.mode("overwrite").parquet(tmp)
 
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".precompact")
@@ -287,12 +325,10 @@ def compact_table(
         fs.rename(backup, hpath)  # roll back
         raise IOError(f"compaction failed: could not move {tmp} into place")
     fs.delete(backup, True)
-    files_after = sum(
-        1 for st in fs.listStatus(hpath)
-        if st.isFile() and st.getPath().getName().endswith(".parquet")
-    )
+    files_after = _count_parquet_files(fs, hpath)
     return {
         "files_before": files_before,
         "files_after": files_after,
         "bytes": total_bytes,
+        "partition_cols": list(part_cols),
     }

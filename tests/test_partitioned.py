@@ -125,3 +125,31 @@ def test_job_cli_partition_by_rejects_csv(tmp_path):
     except SystemExit as e:
         rc = str(e)
     assert rc is not None and "parquet sink only" in rc
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    """Compaction of a date-partitioned table must keep the col=value layout
+    (and its pruning) while collapsing the per-partition small files."""
+    from flow_feature_spark.io import compact_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = f"{tmp_path}/events_frag"
+    # fragment: many small files inside each date directory
+    ev.repartition(8).write.partitionBy("event_date").parquet(out)
+    before = spark.read.parquet(out)
+    n_rows, n_dates = before.count(), before.select("event_date").distinct().count()
+
+    stats = compact_table(spark, out, target_file_bytes=256 * 1024 * 1024)
+    assert stats["partition_cols"] == ["event_date"]
+    assert stats["files_after"] < stats["files_before"]
+    # one file per date directory (hash-clustered rewrite)
+    assert stats["files_after"] == n_dates
+    dirs = _partition_dirs(out, "event_date")
+    assert len(dirs) == n_dates
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    one_day = dirs[0].split("=", 1)[1]
+    plan = _scan_meta(after.filter(F.col("event_date") == F.lit(one_day).cast("date")))
+    assert "event_date" in _partition_filters(plan)
