@@ -141,6 +141,34 @@ def main() -> int:
     check("rollup plans a single Expand pass", prr.count("Expand") >= 1
           and prr.count("FileScan") == 1, f"scans={prr.count('FileScan')}")
 
+    # 1g. pivot: one scan, one aggregate, no join (the SUM(CASE) conditional
+    # formulation — the pre-aggregate+pivot+join shape scanned twice and
+    # leaked a persist)
+    from flow_feature_spark.rollup import pivot_counts
+
+    ppv = plan_of(
+        pivot_counts(ev_raw, "user_id", "event_type",
+                     values=["view", "click", "purchase"]),
+        "simple",
+    )
+    check(
+        "pivot_counts = single-scan single-aggregate, no join",
+        ppv.count("FileScan") == 1 and "Join" not in ppv
+        and "InMemoryRelation" not in ppv and "InMemoryTableScan" not in ppv,
+        f"scans={ppv.count('FileScan')}",
+    )
+
+    # 1h. profiler: exact path = one scan + Expand; HLL path drops the Expand
+    from flow_feature_spark.profile import profile_table
+
+    pex = plan_of(profile_table(ev_raw), "simple")
+    phl = plan_of(profile_table(ev_raw, exact_distinct=False), "simple")
+    check(
+        "profiler exact = one scan + Expand; HLL drops the Expand",
+        pex.count("FileScan") == 1 and "Expand" in pex
+        and phl.count("FileScan") == 1 and "Expand" not in phl,
+    )
+
     # 2. predicate pushdown on a filtered scan
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
