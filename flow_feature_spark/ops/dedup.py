@@ -175,9 +175,10 @@ def minhash_signatures_fast(
 
     NOT cross-engine: xxhash64 is Spark-native, so the DuckDB oracle keeps
     pinning the md5 family (``minhash_signatures``) at small k; this is the
-    production path the corpus-scale bench exercises. Both are uniform
-    2-universal-style families over the same shingle sets, so the measured
-    LSH precision/recall curves (BENCH/MINHASH_QUALITY.md) carry over.
+    production path the corpus-scale bench exercises. Quality is measured,
+    not assumed: on the mid-band corpus at k=128/b=16 the fast family scores
+    recall@0.7 = 0.964 (identical to md5) at precision 0.931 (md5: 0.857) —
+    BENCH/MINHASH_QUALITY.md, same ground truth.
 
     Shape note: this is deliberately explode -> 128 x min(xxhash64(h, i))
     hash-aggregate, NOT array_min(transform(...)) per seed — higher-order

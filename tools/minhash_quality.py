@@ -71,15 +71,22 @@ def main() -> int:
         for r in dd.ngram_jaccard_pairs(docs, threshold=0.01).collect()
     }
 
-    param_sets = [(8, 4), (32, 8), (128, 16)]
+    # (family, k, b): the cross-engine md5 family and the codegen'd xxhash64
+    # fast family (ops/dedup.minhash_signatures_fast) at the production
+    # parameters — measuring both pins the "quality curves carry over" claim
+    param_sets = [("md5", 8, 4), ("md5", 32, 8), ("md5", 128, 16),
+                  ("fast", 128, 16)]
     thresholds = [0.5, 0.7, 0.9]
     rows = []
-    for k, b in param_sets:
+    for fam, k, b in param_sets:
         r_ = k // b
         s_star = (1.0 / b) ** (1.0 / r_)
+        kw = {}
+        if fam == "fast":
+            kw["signatures"] = dd.minhash_signatures_fast(docs, k=k)
         cand = {
             (r["doc_a"], r["doc_b"])
-            for r in dd.minhash_lsh_candidates(docs, k=k, bands=b).collect()
+            for r in dd.minhash_lsh_candidates(docs, k=k, bands=b, **kw).collect()
         }
         for t in thresholds:
             truth_t = {p for p, j in truth.items() if j >= t}
@@ -87,7 +94,7 @@ def main() -> int:
             prec = len(hits) / max(len(cand), 1)
             rec = len(hits) / max(len(truth_t), 1)
             rows.append(
-                f"| k={k} b={b} r={r_} (s*={s_star:.3f}) | {t} | {len(cand):,} "
+                f"| {fam} k={k} b={b} r={r_} (s*={s_star:.3f}) | {t} | {len(cand):,} "
                 f"| {len(truth_t):,} | {prec:.3f} | {rec:.3f} |"
             )
     spark.stop()
