@@ -210,6 +210,30 @@ def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered k-step funnel with a 1-day conversion window — k chained
+    full-partition window mins over ONE user-key exchange (never a join per
+    step); analytics.funnel_counts vs the identically-shaped DuckDB SQL."""
+    from flow_feature_spark.analytics import funnel_counts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, list(OQ.FUNNEL_STEPS), max_step_gap_seconds=86400.0)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-day cohort x day-offset distinct-user retention grid
+    (analytics.cohort_retention); cohort day emitted as timestamp for
+    cross-engine hash stability."""
+    from flow_feature_spark.analytics import cohort_retention
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev).select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_ts"),
+        "day_offset",
+        "n_users",
+    )
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 as a driver-checkable query: Structured Streaming session_window
     sessionization (availableNow over the events parquet, complete-mode
@@ -622,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
         "time_cube": _sql(OQ.time_cube_sql),
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
@@ -683,6 +709,8 @@ def oracle_sql() -> dict[str, str]:
         "overlap_join": OQ.overlap_join_sql(d),
         "time_rollup": OQ.time_rollup_sql(d),
         "time_cube": OQ.time_cube_sql(d),
+        "funnel_steps": OQ.funnel_sql(d, max_gap_us=86_400_000_000),
+        "cohort_retention": OQ.cohort_retention_sql(d),
         "tool_pivot": OQ.tool_pivot_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

@@ -1,0 +1,141 @@
+"""Behavioral analytics over event/transcript tables: ordered funnels and
+cohort retention.
+
+Both are single-logical-scan, windowed formulations chosen for the 100-TB
+shape, and both are exactly reproducible in ANSI SQL (DuckDB oracles in
+oracle_queries.py — driver queries ``funnel_steps``, ``cohort_retention``).
+
+Funnel: the classic k-step ordered-sequence reach ("did the user view, then
+later click, then later purchase"). Each step's first-qualifying timestamp
+is a full-partition window min over an expression referencing the PREVIOUS
+step's window min — k chained Window operators over the SAME (user) ordering,
+so Catalyst plans ONE exchange for the whole chain, never a join per step
+(the join-per-step formulation shuffles k times; this shuffles once).
+Strictly-after semantics: step i+1 counts only at ts strictly greater than
+step i's first-qualifying ts.
+
+Retention: cohort = the user's first active day; a (cohort_day, day_offset)
+cell counts the distinct users of that cohort active offset days later.
+first-day is again a full-partition window min, then one hash aggregate on
+(cohort_day, offset) — two shuffles total, both on low-cardinality keys at
+the aggregate side.
+
+Reference basis: generalizes the reference's per-flow firsts/counters
+(flow.py:129-203 computes per-group firsts and conditioned counts; these are
+the same shapes keyed by user across sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_step_gap_seconds: float | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users, conv_rate) — users reaching each ordered
+    step; conv_rate = reach / step-1 reach, r6-rounded. ``steps`` must be
+    non-empty; a user reaches step i+1 only via an event strictly after
+    their step-i first-qualifying event, and (with ``max_step_gap_seconds``)
+    no later than that many seconds after it — the conversion-window form
+    every product funnel uses."""
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
+    gap_us = (
+        int(round(max_step_gap_seconds * 1_000_000))
+        if max_step_gap_seconds is not None
+        else None
+    )
+    w = Window.partitionBy("__user").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = events.select(
+        F.col(user_col).alias("__user"),
+        F.col(type_col).alias("__type"),
+        ts_us.alias("__ts_us"),
+    )
+    prev = None
+    for i, step in enumerate(steps):
+        qualifies = F.col("__type") == F.lit(step)
+        if prev is not None:
+            qualifies = qualifies & (F.col("__ts_us") > F.col(prev))
+            if gap_us is not None:
+                qualifies = qualifies & (
+                    F.col("__ts_us") <= F.col(prev) + F.lit(gap_us)
+                )
+        col = f"__t{i}"
+        df = df.withColumn(col, F.min(F.when(qualifies, F.col("__ts_us"))).over(w))
+        prev = col
+    per_user = df.groupBy("__user").agg(
+        *[F.max(f"__t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col(f"t{i}").isNotNull(), F.lit(1)))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = []
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    for i, step in enumerate(steps):
+        rate = (
+            F.lit(1.0)
+            if i == 0
+            else r6(
+                F.col(f"n{i}").cast("double")
+                / F.greatest(F.col(f"n{i-1}"), F.lit(1)).cast("double")
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                rate.cast("double").alias("conv_rate"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users", "r.conv_rate"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — distinct users of each first-day
+    cohort active ``day_offset`` days after their first day. Offset 0 row is
+    the cohort size. ``max_offset_days`` truncates the long tail (None keeps
+    all offsets)."""
+    w = Window.partitionBy("__user").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    df = events.select(
+        F.col(user_col).alias("__user"), day.alias("__day")
+    ).withColumn("cohort_day", F.min("__day").over(w))
+    out = (
+        df.select(
+            "__user",
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("__user").cast("bigint").alias("n_users"))
+    )
+    if max_offset_days is not None:
+        out = out.filter(F.col("day_offset") <= max_offset_days)
+    return out

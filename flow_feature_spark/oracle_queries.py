@@ -1124,3 +1124,59 @@ WITH flow AS ({base}),
 dst AS (SELECT cast(count(DISTINCT user_id) AS bigint) AS dst_sets FROM events)
 SELECT dst.dst_sets, flow.* FROM flow CROSS JOIN dst
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_sql(dialect: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+               max_gap_us: int | None = None) -> str:
+    """Ordered-funnel reach oracle (mirrors analytics.funnel_counts): step
+    i+1's first-qualifying ts is a full-partition window min over events
+    strictly after (and within ``max_gap_us`` of) step i's — k chained
+    window CTEs, one exchange on the engine side."""
+    ctes = [f"f0 AS (SELECT user_id AS u, event_type AS et, "
+            f"{_epoch_us(dialect)} AS ts_us FROM events)"]
+    for i, step in enumerate(steps):
+        after = f" AND ts_us > t{i-1}" if i > 0 else ""
+        if i > 0 and max_gap_us is not None:
+            after += f" AND ts_us <= t{i-1} + {max_gap_us}"
+        ctes.append(
+            f"f{i+1} AS (SELECT *, min(CASE WHEN et = '{step}'{after} "
+            f"THEN ts_us END) OVER (PARTITION BY u) AS t{i} FROM f{i})"
+        )
+    tcols = ", ".join(f"max(t{i}) AS t{i}" for i in range(len(steps)))
+    ncols = ", ".join(
+        f"cast(count(t{i}) AS bigint) AS n{i}" for i in range(len(steps))
+    )
+    ctes.append(f"pu AS (SELECT u, {tcols} FROM f{len(steps)} GROUP BY u)")
+    ctes.append(f"c AS (SELECT {ncols} FROM pu)")
+    selects = []
+    for i, step in enumerate(steps):
+        rate = ("cast(1.0 AS double)" if i == 0 else
+                r6(f"cast(n{i} AS double)/cast(greatest(n{i-1}, 1) AS double)"))
+        selects.append(
+            f"SELECT cast({i} AS int) AS step_idx, '{step}' AS step, "
+            f"n{i} AS n_users, cast({rate} AS double) AS conv_rate FROM c"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def cohort_retention_sql(dialect: str) -> str:
+    """Cohort retention oracle (mirrors analytics.cohort_retention);
+    cohort_day emitted as timestamp for cross-engine hash stability."""
+    if dialect == "spark":
+        day = "to_date(cast(ts AS timestamp))"
+        diff = "datediff(day, cohort_day)"
+    else:
+        day = "cast(ts AS date)"
+        diff = "datediff('day', cohort_day, day)"
+    return f"""
+WITH d AS (SELECT user_id AS u, {day} AS day FROM events),
+w AS (SELECT u, day, min(day) OVER (PARTITION BY u) AS cohort_day FROM d)
+SELECT cast(cohort_day AS timestamp) AS cohort_ts,
+       cast({diff} AS int)           AS day_offset,
+       cast(count(DISTINCT u) AS bigint) AS n_users
+FROM w
+GROUP BY cohort_day, {diff}
+"""

@@ -1,0 +1,113 @@
+"""Behavioral analytics (analytics.py): ordered funnel + cohort retention.
+
+Semantics pinned on hand-built frames (the driver gate pins cross-engine
+hash-exactness separately via funnel_steps / cohort_retention)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from flow_feature_spark.analytics import cohort_retention, funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime(2024, 1, d, h, m)) for (u, t, d, h, m) in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_strictly_after_ordering(spark):
+    ev = _ev(spark, [
+        # u1: full ordered funnel
+        ("u1", "view", 1, 9, 0), ("u1", "click", 1, 10, 0),
+        ("u1", "purchase", 1, 11, 0),
+        # u2: click BEFORE the first view -> stops at view
+        ("u2", "click", 1, 8, 0), ("u2", "view", 1, 9, 0),
+        # u3: view+purchase but no click -> stops at view
+        ("u3", "view", 1, 9, 0), ("u3", "purchase", 1, 10, 0),
+        # u4: never views
+        ("u4", "click", 1, 9, 0),
+    ])
+    got = {r["step"]: (r["n_users"], r["conv_rate"])
+           for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {
+        "view": (3, 1.0),
+        "click": (1, pytest.approx(1 / 3, abs=1e-6)),
+        "purchase": (1, 1.0),
+    }
+
+
+def test_funnel_same_timestamp_not_after(spark):
+    """Strictly-after: a click at the exact view timestamp does not count."""
+    ev = _ev(spark, [("u1", "view", 1, 9, 0), ("u1", "click", 1, 9, 0)])
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_funnel_conversion_window(spark):
+    ev = _ev(spark, [
+        ("u1", "view", 1, 9, 0), ("u1", "click", 1, 9, 30),   # 30 min later
+        ("u2", "view", 1, 9, 0), ("u2", "click", 1, 11, 0),   # 2 h later
+    ])
+    tight = {r["step"]: r["n_users"] for r in funnel_counts(
+        ev, ["view", "click"], max_step_gap_seconds=3600.0).collect()}
+    loose = {r["step"]: r["n_users"] for r in funnel_counts(
+        ev, ["view", "click"], max_step_gap_seconds=7200.0).collect()}
+    assert tight == {"view": 2, "click": 1}
+    assert loose == {"view": 2, "click": 2}
+
+
+def test_funnel_uses_earliest_qualifying_not_any(spark):
+    """Step i+1 anchors on step i's FIRST qualifying event: u1's click is
+    within the window of the first view even though a later view exists."""
+    ev = _ev(spark, [
+        ("u1", "view", 1, 9, 0), ("u1", "view", 1, 12, 0),
+        ("u1", "click", 1, 9, 45),
+    ])
+    got = {r["step"]: r["n_users"] for r in funnel_counts(
+        ev, ["view", "click"], max_step_gap_seconds=3600.0).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_empty_steps_raises(spark):
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_counts(_ev(spark, [("u1", "view", 1, 9, 0)]), [])
+
+
+def test_cohort_retention_grid(spark):
+    ev = _ev(spark, [
+        # cohort Jan 1: u1 active day 0, 1, 3; u2 active day 0 only
+        ("u1", "view", 1, 9, 0), ("u1", "view", 2, 9, 0), ("u1", "view", 4, 9, 0),
+        ("u2", "view", 1, 12, 0),
+        # cohort Jan 2: u3 active day 0 and 1 (two events on day 0 dedupe)
+        ("u3", "view", 2, 9, 0), ("u3", "click", 2, 10, 0), ("u3", "view", 3, 9, 0),
+    ])
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+    capped = cohort_retention(ev, max_offset_days=1).collect()
+    assert all(r["day_offset"] <= 1 for r in capped) and len(capped) == 4
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The chained-window formulation must plan ONE exchange for the whole
+    step chain (the join-per-step formulation would shuffle k times)."""
+    ev = _ev(spark, [("u1", "view", 1, 9, 0), ("u1", "click", 1, 10, 0)])
+    import re
+
+    plan = (
+        funnel_counts(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_user_exchanges = len(re.findall(r"hashpartitioning\(__user", plan))
+    assert n_user_exchanges <= 1, plan[:1500]
