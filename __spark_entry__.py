@@ -234,6 +234,28 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov event-type transition matrix with r6 conditional probabilities
+    (analytics.transition_counts, (ts, event_id) ordering)."""
+    from flow_feature_spark.analytics import transition_counts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(ev, order_cols=("event_id",), normalize=True)
+
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin chi-square drift of the value distribution between the
+    even/odd event_id halves (analytics.histogram_drift — rational-only
+    arithmetic keeps r6 cross-engine exact, unlike a PSI log); [0,100) in 20
+    bins plus the overflow bin exercises the boundary clamps."""
+    from flow_feature_spark.analytics import histogram_drift
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return histogram_drift(
+        ev, "value", "event_id % 2 = 0", n_bins=20, lo=0.0, hi=100.0,
+    )
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 as a driver-checkable query: Structured Streaming session_window
     sessionization (availableNow over the events parquet, complete-mode
@@ -648,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_cube": _sql(OQ.time_cube_sql),
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "transition_matrix": q_transition_matrix,
+        "histogram_drift": q_histogram_drift,
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
@@ -711,6 +735,10 @@ def oracle_sql() -> dict[str, str]:
         "time_cube": OQ.time_cube_sql(d),
         "funnel_steps": OQ.funnel_sql(d, max_gap_us=86_400_000_000),
         "cohort_retention": OQ.cohort_retention_sql(d),
+        "transition_matrix": OQ.transition_counts_sql(d),
+        "histogram_drift": OQ.histogram_drift_sql(
+            d, value_sql="value", n_bins=20, lo=0.0, hi=100.0
+        ),
         "tool_pivot": OQ.tool_pivot_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

@@ -139,6 +139,10 @@ def main() -> int:
         "time_rollup",
         "tool_pivot",
         "gap_percentiles",
+        "funnel_steps",
+        "cohort_retention",
+        "transition_matrix",
+        "histogram_drift",
         "zscore_normalize",
         "table_profile",
         "asof_forward",

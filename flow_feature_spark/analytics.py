@@ -139,3 +139,96 @@ def cohort_retention(
     if max_offset_days is not None:
         out = out.filter(F.col("day_offset") <= max_offset_days)
     return out
+
+
+def transition_counts(
+    events: DataFrame,
+    group_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+    normalize: bool = False,
+) -> DataFrame:
+    """(from_type, to_type, n_transitions [, p]) — the Markov transition
+    matrix of the per-group event-type sequence (dialog-act / tool-call
+    transition structure of a transcript corpus). One lag window over the
+    group ordering + one vocabulary-sized hash aggregate; ``order_cols``
+    break timestamp ties deterministically. ``normalize`` adds the row
+    conditional probability p = n / sum(n per from_type), r6-rounded (the
+    per-from sums are exact bigints, so p is cross-engine bit-stable)."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = events.select(
+        F.col(group_col).alias("__g"),
+        F.col(type_col).alias("__t"),
+        ts_us.alias("__ts_us"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("__g").orderBy("__ts_us", *order_cols)
+    out = (
+        df.withColumn("__prev", F.lag("__t", 1).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"), F.col("__t").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    if normalize:
+        r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+        wf = Window.partitionBy("from_type")
+        out = out.withColumn(
+            "p",
+            r6(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wf).cast("double")
+            ).cast("double"),
+        )
+    return out
+
+
+def histogram_drift(
+    events: DataFrame,
+    value_expr: str,
+    split_expr: str,
+    n_bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 160.0,
+) -> DataFrame:
+    """Distribution-drift table between the reference slice (``split_expr``
+    true) and the current slice: fixed-width bins of ``value_expr`` over
+    [lo, hi) plus underflow (-1) / overflow (n_bins) bins, each row carrying
+    both counts and the Pearson chi-square contribution
+    ((n_cur - e)^2 / e with e = n_ref * N_cur / N_ref, r6) — the drift
+    statistic every feature-store monitor wants, in purely rational
+    arithmetic so both engines agree bit-for-bit (no logs, unlike PSI).
+    One scan, one (split, bin) aggregate, window totals over the tiny
+    histogram frame."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    v = F.expr(value_expr).cast("double")
+    bin_col = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+        F.lit(n_bins),
+    ).cast("int")
+    base = events.select(
+        F.expr(split_expr).cast("boolean").alias("__is_ref"),
+        bin_col.alias("bin_idx"),
+    )
+    hist = base.groupBy("bin_idx").agg(
+        F.count(F.when(F.col("__is_ref"), F.lit(1))).cast("bigint").alias("n_ref"),
+        F.count(F.when(~F.col("__is_ref"), F.lit(1))).cast("bigint").alias("n_cur"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    tot_ref = F.sum("n_ref").over(wall).cast("double")
+    tot_cur = F.sum("n_cur").over(wall).cast("double")
+    e = F.col("n_ref").cast("double") * tot_cur / tot_ref
+    term = F.when(
+        F.col("n_ref") > 0,
+        r6((F.col("n_cur").cast("double") - e) * (F.col("n_cur") - e) / e),
+    ).otherwise(F.lit(None).cast("double"))
+    return hist.select(
+        "bin_idx", "n_ref", "n_cur", term.cast("double").alias("chi2_term")
+    )

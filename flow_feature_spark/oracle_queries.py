@@ -1180,3 +1180,61 @@ SELECT cast(cohort_day AS timestamp) AS cohort_ts,
 FROM w
 GROUP BY cohort_day, {diff}
 """
+
+
+def transition_counts_sql(dialect: str) -> str:
+    """Markov transition-matrix oracle (mirrors analytics.transition_counts
+    with normalize=True; (ts, event_id) ordering): lag window + vocabulary-
+    sized aggregate; p from exact bigint row sums -> bit-stable r6."""
+    return f"""
+WITH s AS (
+  SELECT user_id AS g, event_type AS t, {_epoch_us(dialect)} AS ts_us, event_id
+  FROM events
+),
+l AS (
+  SELECT t, lag(t) OVER (PARTITION BY g ORDER BY ts_us, event_id) AS prev
+  FROM s
+)
+SELECT prev AS from_type, t AS to_type,
+       cast(count(*) AS bigint) AS n_transitions,
+       cast({r6('cast(count(*) AS double) / cast(sum(count(*)) OVER (PARTITION BY prev) AS double)')} AS double) AS p
+FROM l WHERE prev IS NOT NULL
+GROUP BY prev, t
+"""
+
+
+def histogram_drift_sql(
+    dialect: str,
+    value_sql: str = "length(coalesce(props, ''))",
+    split_sql: str = "event_id % 2 = 0",
+    n_bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 160.0,
+) -> str:
+    """Histogram-drift oracle (mirrors analytics.histogram_drift): fixed-width
+    bins + under/overflow, Pearson chi-square contribution per bin — purely
+    rational arithmetic (no logs), so r6 is cross-engine exact."""
+    width = (hi - lo) / n_bins
+    e = "(cast(n_ref AS double) * tot_cur / tot_ref)"
+    term = r6(f"(cast(n_cur AS double) - {e}) * (cast(n_cur AS double) - {e}) / {e}")
+    return f"""
+WITH b AS (
+  SELECT ({split_sql}) AS is_ref,
+         cast(least(greatest(floor((cast({value_sql} AS double) - {lo!r}) / {width!r}), -1), {n_bins}) AS int) AS bin_idx
+  FROM events
+),
+h AS (
+  SELECT bin_idx,
+         cast(count(*) FILTER (WHERE is_ref) AS bigint)     AS n_ref,
+         cast(count(*) FILTER (WHERE NOT is_ref) AS bigint) AS n_cur
+  FROM b GROUP BY bin_idx
+),
+t AS (
+  SELECT *, cast(sum(n_ref) OVER () AS double) AS tot_ref,
+            cast(sum(n_cur) OVER () AS double) AS tot_cur
+  FROM h
+)
+SELECT bin_idx, n_ref, n_cur,
+       cast(CASE WHEN n_ref > 0 THEN {term} END AS double) AS chi2_term
+FROM t
+"""

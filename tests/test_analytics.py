@@ -111,3 +111,73 @@ def test_funnel_single_exchange_plan(spark):
     )
     n_user_exchanges = len(re.findall(r"hashpartitioning\(__user", plan))
     assert n_user_exchanges <= 1, plan[:1500]
+
+
+def test_transition_counts_matrix(spark):
+    from flow_feature_spark.analytics import transition_counts
+
+    ev = _ev(spark, [
+        ("u1", "a", 1, 9, 0), ("u1", "b", 1, 9, 1), ("u1", "a", 1, 9, 2),
+        ("u1", "b", 1, 9, 3),
+        ("u2", "a", 1, 9, 0), ("u2", "b", 1, 9, 1),
+    ])
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in transition_counts(ev).collect()}
+    # u1: a->b, b->a, a->b; u2: a->b — never a cross-user transition
+    assert got == {("a", "b"): 3, ("b", "a"): 1}
+    norm = {(r["from_type"], r["to_type"]): r["p"]
+            for r in transition_counts(ev, normalize=True).collect()}
+    assert norm[("a", "b")] == 1.0 and norm[("b", "a")] == 1.0
+
+
+def test_transition_counts_order_cols_break_ties(spark):
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.analytics import transition_counts
+
+    ev = _ev(spark, [
+        ("u1", "x", 1, 9, 0), ("u1", "y", 1, 9, 0),  # same timestamp
+    ]).withColumn("seq", F.when(F.col("event_type") == "x", 0).otherwise(1))
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in transition_counts(ev, order_cols=("seq",)).collect()}
+    assert got == {("x", "y"): 1}
+
+
+def test_histogram_drift_identical_halves_zero(spark):
+    """Identical ref/cur distributions -> every chi-square term 0."""
+    from flow_feature_spark.analytics import histogram_drift
+
+    rows = [(i, float((i // 2) % 10) * 10.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, v double")
+    out = histogram_drift(df, "v", "event_id % 2 = 0", n_bins=10, lo=0.0, hi=100.0)
+    got = out.collect()
+    assert len(got) == 10
+    assert all(r["chi2_term"] == 0.0 and r["n_ref"] == r["n_cur"] for r in got)
+
+
+def test_histogram_drift_under_overflow_and_shift(spark):
+    from flow_feature_spark.analytics import histogram_drift
+
+    rows = ([(i, -5.0) for i in range(0, 10, 2)]          # ref underflow
+            + [(i, 500.0) for i in range(1, 11, 2)]       # cur overflow
+            + [(i, 50.0) for i in range(20, 40)])         # both, bin 5
+    df = spark.createDataFrame(rows, "event_id long, v double")
+    out = {r["bin_idx"]: r for r in histogram_drift(
+        df, "v", "event_id % 2 = 0", n_bins=10, lo=0.0, hi=100.0).collect()}
+    assert out[-1]["n_ref"] == 5 and out[-1]["n_cur"] == 0
+    assert out[10]["n_ref"] == 0 and out[10]["n_cur"] == 5
+    # n_ref = 0 -> term undefined, NULL (never a silent 0)
+    assert out[10]["chi2_term"] is None
+    assert out[5]["n_ref"] == 10 and out[5]["n_cur"] == 10
+
+
+def test_histogram_drift_validates_params(spark):
+    import pytest as _pytest
+
+    from flow_feature_spark.analytics import histogram_drift
+
+    df = spark.createDataFrame([(1, 1.0)], "event_id long, v double")
+    with _pytest.raises(ValueError):
+        histogram_drift(df, "v", "event_id % 2 = 0", n_bins=0)
+    with _pytest.raises(ValueError):
+        histogram_drift(df, "v", "event_id % 2 = 0", lo=5.0, hi=5.0)
