@@ -181,3 +181,83 @@ def test_histogram_drift_validates_params(spark):
         histogram_drift(df, "v", "event_id % 2 = 0", n_bins=0)
     with _pytest.raises(ValueError):
         histogram_drift(df, "v", "event_id % 2 = 0", lo=5.0, hi=5.0)
+
+
+def test_randomized_brute_force_against_python_oracle(spark):
+    """Seeded random corpus vs straight-line Python implementations of all
+    three sequence operators (the randomized-oracle pattern of
+    test_rangejoin): funnel with conversion window, transition counts, and
+    cohort retention must all match exactly."""
+    import random
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    from flow_feature_spark.analytics import (
+        cohort_retention,
+        funnel_counts,
+        transition_counts,
+    )
+
+    rng = random.Random(20260817)
+    types = ["view", "click", "purchase", "error"]
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(120):
+        for i in range(rng.randint(0, 25)):
+            rows.append((
+                f"u{u}",
+                rng.choice(types),
+                base + timedelta(minutes=rng.randint(0, 60 * 24 * 20)),
+                u * 1000 + i,
+            ))
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+    steps, gap_s = ["view", "click", "purchase"], 86400.0
+
+    # ---- python funnel oracle
+    by_user = defaultdict(list)
+    for u, t, ts, eid in rows:
+        by_user[u].append((ts, eid, t))
+    reach = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        t_prev = None
+        for si, step in enumerate(steps):
+            cand = [
+                ts for ts, _, t in evs
+                if t == step and (
+                    si == 0
+                    or (t_prev is not None and ts > t_prev
+                        and (ts - t_prev).total_seconds() <= gap_s)
+                )
+            ]
+            if si > 0 and t_prev is None:
+                cand = []
+            if not cand:
+                break
+            t_prev = min(cand)
+            reach[si] += 1
+    got = {r["step_idx"]: r["n_users"] for r in funnel_counts(
+        ev, steps, max_step_gap_seconds=gap_s).collect()}
+    assert got == {i: reach[i] for i in range(len(steps))}
+
+    # ---- python transition oracle ((ts, event_id) ordering)
+    want_tc = Counter()
+    for evs in by_user.values():
+        seq = [t for _, _, t in sorted(evs)]
+        for a, b in zip(seq, seq[1:]):
+            want_tc[(a, b)] += 1
+    got_tc = {(r["from_type"], r["to_type"]): r["n_transitions"]
+              for r in transition_counts(ev, order_cols=("event_id",)).collect()}
+    assert got_tc == dict(want_tc)
+
+    # ---- python cohort oracle
+    want_cr = Counter()
+    for evs in by_user.values():
+        days = sorted({ts.date() for ts, _, _ in evs})
+        for d in days:
+            want_cr[(days[0], (d - days[0]).days)] += 1
+    got_cr = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+              for r in cohort_retention(ev).collect()}
+    assert got_cr == dict(want_cr)
