@@ -98,8 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream-engine", choices=["features", "counts"],
                    default="features",
                    help="stream mode: features = full 72-vector per closed "
-                   "session (applyInPandasWithState); counts = native "
-                   "session_window incremental aggregates (basic edition)")
+                   "session (applyInPandasWithState; EventTimeTimeout also "
+                   "flushes the trailing open session of each conv); counts "
+                   "= native session_window incremental aggregates (basic "
+                   "edition). NOTE counts emits only sessions CLOSED by the "
+                   "final watermark — sessions containing the newest events "
+                   "stay pending in the streaming state and flush when a "
+                   "later run's data advances the watermark (append-mode "
+                   "file-sink semantics); use features or batch --mode "
+                   "sessionize when a bounded run must emit everything")
     p.add_argument("--stream-timeout", choices=["none", "event_time"],
                    default="event_time",
                    help="stream mode: open-tail flush policy (event_time = "
@@ -181,9 +188,14 @@ def run(argv: list[str] | None = None) -> int:
             reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
         stream_df = reader.parquet(args.input)
         if args.stream_engine == "counts":
+            # gap + 1 µs: session_window splits at inter-event gap >= g while
+            # the batch lag+cumsum sessionizer splits at gap > threshold —
+            # the translation makes the two split rules identical, so the
+            # stream-counts CLI agrees with --mode sessionize on boundary
+            # ties (same rule as __spark_entry__.q_stream_counts)
             feats = stream_session_counts(
                 stream_df,
-                gap=f"{int(args.gap_seconds)} seconds",
+                gap=f"{int(args.gap_seconds * 1_000_000) + 1} microseconds",
                 watermark=args.stream_watermark,
             )
         else:

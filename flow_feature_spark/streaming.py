@@ -34,6 +34,12 @@ def stream_session_counts(
 
     Works on a streaming DataFrame (``spark.readStream``). Late data beyond
     the watermark is dropped; a session closes ``gap`` after its last event.
+
+    Boundary semantics: ``session_window(ts, g)`` opens a new session at
+    inter-event gap >= g, while the batch lag+cumsum sessionizer opens at
+    gap > threshold — pass ``g = threshold + 1 microsecond`` for
+    bit-identical session membership (job.py --mode stream and the
+    stream_counts driver query both do).
     """
     return (
         stream_df.withWatermark(ts_col, watermark)
