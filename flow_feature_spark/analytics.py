@@ -1,9 +1,10 @@
-"""Behavioral analytics over event/transcript tables: ordered funnels and
-cohort retention.
+"""Behavioral analytics over event/transcript tables: ordered funnels,
+cohort retention, Markov transition matrices, and histogram drift.
 
-Both are single-logical-scan, windowed formulations chosen for the 100-TB
-shape, and both are exactly reproducible in ANSI SQL (DuckDB oracles in
-oracle_queries.py — driver queries ``funnel_steps``, ``cohort_retention``).
+All four are single-logical-scan, windowed formulations chosen for the
+100-TB shape, and all are exactly reproducible in ANSI SQL (DuckDB oracles
+in oracle_queries.py — driver queries ``funnel_steps``, ``cohort_retention``,
+``transition_matrix``, ``histogram_drift``).
 
 Funnel: the classic k-step ordered-sequence reach ("did the user view, then
 later click, then later purchase"). Each step's first-qualifying timestamp

@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mode",
         choices=["features", "sessionize", "asof", "stream", "rollup",
-                 "compact", "profile"],
+                 "compact", "profile", "drift"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
         "checkpointLocation); rollup: hypertable-style day/hour/total "
         "activity rollup of the turn table; compact: rewrite --input in "
         "place into ~--target-file-mb files (small-files maintenance; "
-        "--output ignored); profile: per-column ingest-QA stats of --input",
+        "--output ignored); profile: per-column ingest-QA stats of --input; "
+        "drift: per-bin chi-square of --drift-value between --ref "
+        "(reference slice) and --input (current slice)",
     )
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
@@ -90,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="--mode compact: target output file size")
+    p.add_argument("--ref", help="--mode drift: reference table path (parquet)")
+    p.add_argument("--drift-value", default="length(coalesce(text, ''))",
+                   help="--mode drift: SQL expression binned on both sides")
+    p.add_argument("--drift-bins", type=int, default=16)
+    p.add_argument("--drift-lo", type=float, default=0.0)
+    p.add_argument("--drift-hi", type=float, default=160.0)
     p.add_argument("--hll", action="store_true",
                    help="--mode profile: approx_count_distinct sketches "
                    "instead of exact COUNT(DISTINCT) — drops the Expand from "
@@ -120,6 +128,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.mode == "drift" and not args.ref:
+        raise SystemExit("--mode drift requires --ref")
 
     from flow_feature_spark.asof import asof_join_fast
     from flow_feature_spark.io import resume_or_compute
@@ -253,6 +263,20 @@ def run(argv: list[str] | None = None) -> int:
             from flow_feature_spark.profile import profile_table
 
             return profile_table(df, exact_distinct=not args.hll)
+        if args.mode == "drift":
+            from pyspark.sql import functions as F
+
+            from flow_feature_spark.analytics import histogram_drift
+
+            ref = spark.read.parquet(args.ref)
+            shared = [c for c in df.columns if c in set(ref.columns)]
+            both = ref.select(*shared).withColumn(
+                "__is_ref", F.lit(True)
+            ).unionByName(df.select(*shared).withColumn("__is_ref", F.lit(False)))
+            return histogram_drift(
+                both, args.drift_value, "__is_ref",
+                n_bins=args.drift_bins, lo=args.drift_lo, hi=args.drift_hi,
+            )
         if args.per_source and args.mode == "features":
             # pcap mode: the whole FILE is one flow — key by source basename,
             # order rows by time within the file
@@ -373,6 +397,7 @@ def run(argv: list[str] | None = None) -> int:
             f"ps={args.per_source}",
             f"rt={args.reset_tool}",
             f"probes={args.probes if args.mode == 'asof' else None}",
+            f"ref={args.ref if args.mode == 'drift' else None}",
             f"fmt={args.input_format}",
             f"pb={args.partition_by}",
         ])

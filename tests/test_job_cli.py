@@ -380,3 +380,47 @@ def test_profile_hll_path_drops_expand(spark):
     assert "Expand" in exact_plan
     assert "Expand" not in hll_plan
     assert "approx_count_distinct" in hll_plan
+
+
+def test_drift_mode_between_two_tables(spark, tmp_path):
+    """--mode drift: per-bin chi-square of a column expression between --ref
+    and --input; identical tables -> all zero terms, shifted table -> mass
+    moves bins and nonzero terms appear."""
+    from flow_feature_spark import job
+
+    ref, cur, out1, out2 = (f"{tmp_path}/{n}" for n in ("ref", "cur", "o1", "o2"))
+    base = spark.range(1000).selectExpr(
+        "id", "repeat('x', cast(id % 100 as int)) AS text"
+    )
+    base.write.parquet(ref)
+    base.selectExpr("id", "repeat('x', cast(id % 100 as int) + 50) AS text").write.parquet(cur)
+
+    # identical slices -> every chi2_term exactly 0
+    assert job.run([
+        "--input", ref, "--output", out1, "--mode", "drift", "--ref", ref,
+        "--drift-bins", "10", "--drift-lo", "0", "--drift-hi", "100",
+    ]) == 0
+    rows = spark.read.parquet(out1).collect()
+    assert len(rows) == 10
+    assert all(r["chi2_term"] == 0.0 and r["n_ref"] == r["n_cur"] for r in rows)
+
+    # +50-char shift -> overflow bin gains current-only mass
+    assert job.run([
+        "--input", cur, "--output", out2, "--mode", "drift", "--ref", ref,
+        "--drift-bins", "10", "--drift-lo", "0", "--drift-hi", "100",
+    ]) == 0
+    got = {r["bin_idx"]: r for r in spark.read.parquet(out2).collect()}
+    assert got[10]["n_ref"] == 0 and got[10]["n_cur"] == 500
+    assert any(r["chi2_term"] and r["chi2_term"] > 0 for r in got.values())
+
+
+def test_drift_mode_requires_ref(tmp_path):
+    from flow_feature_spark import job
+
+    try:
+        job.run(["--input", f"{tmp_path}/a", "--output", f"{tmp_path}/b",
+                 "--mode", "drift"])
+        raised = False
+    except SystemExit as e:
+        raised = "requires --ref" in str(e)
+    assert raised
