@@ -234,6 +234,15 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 6h/2h window aggregates via native F.window
+    (rollup.hopping_window_counts); bounds as exact bigint microseconds."""
+    from flow_feature_spark.rollup import hopping_window_counts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_window_counts(ev, size="6 hours", slide="2 hours")
+
+
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov event-type transition matrix with r6 conditional probabilities
     (analytics.transition_counts, (ts, event_id) ordering)."""
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "transition_matrix": q_transition_matrix,
         "histogram_drift": q_histogram_drift,
+        "hopping_window": q_hopping_window,
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
@@ -736,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": OQ.funnel_sql(d, max_gap_us=86_400_000_000),
         "cohort_retention": OQ.cohort_retention_sql(d),
         "transition_matrix": OQ.transition_counts_sql(d),
+        "hopping_window": OQ.hopping_window_sql(d),
         "histogram_drift": OQ.histogram_drift_sql(
             d, value_sql="value", n_bins=20, lo=0.0, hi=100.0
         ),

@@ -137,6 +137,7 @@ def main() -> int:
         "interval_join",
         "overlap_join",
         "time_rollup",
+        "hopping_window",
         "tool_pivot",
         "gap_percentiles",
         "funnel_steps",

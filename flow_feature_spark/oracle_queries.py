@@ -1238,3 +1238,34 @@ SELECT bin_idx, n_ref, n_cur,
        cast(CASE WHEN n_ref > 0 THEN {term} END AS double) AS chi2_term
 FROM t
 """
+
+
+def hopping_window_sql(
+    dialect: str,
+    size_us: int = 21_600_000_000,
+    slide_us: int = 7_200_000_000,
+) -> str:
+    """Hopping-window oracle (mirrors rollup.hopping_window_counts): each
+    event replicated into its size/slide slide-aligned windows by integer
+    arithmetic — window start = slide * (floor(ts_us/slide) - i)."""
+    n = size_us // slide_us
+    assert size_us % slide_us == 0, "slide must divide size"
+    if dialect == "spark":
+        gen = f"LATERAL VIEW explode(sequence(0, {n - 1})) _t AS i"
+        frm = f"FROM events {gen}"
+    else:
+        frm = f"FROM events CROSS JOIN (SELECT unnest(range(0, {n})) AS i) _t"
+    return f"""
+WITH h AS (
+  SELECT {slide_us} * (cast(floor({_epoch_us(dialect)} / {slide_us}) AS bigint) - i) AS ws_us,
+         user_id,
+         cast(length(coalesce(props, '')) AS bigint) AS b
+  {frm}
+)
+SELECT ws_us                          AS win_start_us,
+       ws_us + {size_us}              AS win_end_us,
+       cast(count(*) AS bigint)       AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       cast(sum(b) AS bigint)         AS bytes_total
+FROM h GROUP BY ws_us
+"""

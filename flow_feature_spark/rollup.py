@@ -88,3 +88,39 @@ def pivot_counts(
     ]
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return df.groupBy(group_col).agg(*aggs)
+
+
+def hopping_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    bytes_expr: str = "length(coalesce(props, ''))",
+    size: str = "6 hours",
+    slide: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) window aggregates: one row per slide-aligned window
+    of length ``size`` — the overlapping-window twin of ``time_rollup``'s
+    disjoint buckets (each event lands in exactly size/slide windows when
+    slide divides size, all epoch-grid-aligned). Native ``F.window``: the
+    explode-to-windows step happens inside Catalyst's TimeWindow expansion,
+    one shuffle on the window key. Window bounds are emitted as exact bigint
+    microseconds (cross-engine hash-stable; the DuckDB oracle reproduces the
+    grid with pure integer arithmetic)."""
+    w = F.window(F.col(ts_col).cast("timestamp"), size, slide)
+    return (
+        df.groupBy(w.alias("w"), )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(F.col(entity_col)).cast("bigint").alias("n_users"),
+            F.sum(F.expr(bytes_expr).cast("bigint")).cast("bigint").alias(
+                "bytes_total"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end")).alias("win_end_us"),
+            "n_events",
+            "n_users",
+            "bytes_total",
+        )
+    )

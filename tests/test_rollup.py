@@ -109,3 +109,38 @@ def test_pivot_counts_semantics(spark):
     assert out == {"u1": (2, 1, 3), "u2": (0, 1, 2)}
     with _pt.raises(ValueError, match="explicit values"):
         pivot_counts(df, "uid", "kind")
+
+
+def test_hopping_window_membership_and_counts(spark):
+    """Each event lands in exactly size/slide slide-aligned windows; counts
+    and byte sums agree with a straight-line Python replay."""
+    from collections import Counter
+    from datetime import datetime
+
+    from flow_feature_spark.rollup import hopping_window_counts
+
+    rows = [
+        (1, "u1", datetime(2024, 1, 1, 0, 7), "abc"),
+        (2, "u2", datetime(2024, 1, 1, 0, 20), "de"),
+        (3, "u1", datetime(2024, 1, 1, 3, 59), "fghi"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, props string"
+    )
+    got = {r["win_start_us"]: (r["n_events"], r["n_users"], r["bytes_total"])
+           for r in hopping_window_counts(
+               df, size="1 hour", slide="15 minutes").collect()}
+    size_us, slide_us = 3_600_000_000, 900_000_000
+    n = size_us // slide_us
+    cnt, users, bts = Counter(), {}, Counter()
+    for _, u, ts, props in rows:
+        ts_us = int(ts.timestamp() * 1e6)
+        for i in range(n):
+            ws = slide_us * (ts_us // slide_us - i)
+            cnt[ws] += 1
+            users.setdefault(ws, set()).add(u)
+            bts[ws] += len(props)
+    want = {ws: (cnt[ws], len(users[ws]), bts[ws]) for ws in cnt}
+    assert got == want
+    # every event is in exactly n windows
+    assert sum(v[0] for v in got.values()) == len(rows) * n
