@@ -210,6 +210,88 @@ def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7's FULL path as a driver query: the stateful 72-vector streaming
+    engine (applyInPandasWithState + EventTimeTimeout) over the events-derived
+    turns must equal the batch feature-vector oracle bit-for-bit. Bounded
+    replay with an explicit end-of-stream: the turns land in micro-batch 0,
+    then two far-future single-turn advancer rows (each a <2-turn session both
+    engines drop) land in batches 1 and 2 purely to push the watermark past
+    every open tail's gap window, so EventTimeTimeout flushes ALL trailing
+    sessions — the same staged-batch mechanics
+    tests/test_streaming.py::test_event_time_timeout_flushes_open_tails pins
+    on synthetic transcripts."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from flow_feature_spark.streaming import stateful_session_features
+
+    _prep(spark)
+    # the testdata ts is TIMESTAMP_NTZ — the watermark's event-time column
+    # must be a true timestamp (cast under the pinned UTC session zone)
+    turns = _events_turns(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "ts_us", "is_fwd", "plen", "win", "flags", "ihl",
+    )
+    gap_us = int(OQ.SESSION_GAP_S * 1_000_000)
+    max_us = turns.agg(F.max("ts_us")).collect()[0][0]
+    advancers = []
+    for j, off in enumerate((gap_us + 3_600_000_000, 2 * (gap_us + 3_600_000_000))):
+        adv_us = max_us + off
+        advancers.append(
+            turns.limit(1).select(
+                F.lit("zz_advancer").alias("conv_id"),
+                F.lit(j).cast("int").alias("turn_idx"),
+                F.timestamp_micros(F.lit(adv_us)).alias("ts"),
+                F.lit(adv_us).alias("ts_us"),
+                F.lit(False).alias("is_fwd"),
+                F.lit(0).cast("long").alias("plen"),
+                F.lit(0).cast("long").alias("win"),
+                F.lit(0).cast("int").alias("flags"),
+                F.lit(0).cast("long").alias("ihl"),
+            )
+        )
+    path = tempfile.mkdtemp(prefix="ffs_stream_feats_") + "/in"
+    for i, df in enumerate([turns, *advancers]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = _time.time() + i * 10  # mtime orders the staged micro-batches
+        for root, _, files in os.walk(sub):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    name = f"stream_feats_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_session_features(
+            stream, gap_seconds=OQ.SESSION_GAP_S, rounding="r6",
+            timeout="event_time", watermark="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("conv_id") != "zz_advancer")
+        .select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered k-step funnel with a 1-day conversion window — k chained
     full-partition window mins over ONE user-key exchange (never a join per
@@ -657,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         "sessionize_bucketed": q_sessionize_bucketed,
         "stream_counts": q_stream_counts,
+        "stream_features": q_stream_features,
         "session_features_sql": _sql(OQ.feature_vector_sql),
         "lag_lead_backfill": _sql(OQ.lag_lead_backfill_sql),
         "cumulative_running": _sql(OQ.cumulative_sql),
@@ -724,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_counts": OQ.sessionize_counts_sql(d),
         "sessionize_bucketed": OQ.sessionize_counts_sql(d),
         "stream_counts": OQ.sessionize_counts_sql(d),
+        "stream_features": OQ.feature_vector_sql(d),
         "session_features_sql": OQ.feature_vector_sql(d),
         "lag_lead_backfill": OQ.lag_lead_backfill_sql(d),
         "cumulative_running": OQ.cumulative_sql(d),
