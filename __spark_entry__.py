@@ -284,7 +284,9 @@ def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        # inside the finally: a processAllAvailable() failure must not leak
+        # the staged micro-batch dir in /tmp on every failed gate run
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return (
         spark.table(name)
         .filter(F.col("conv_id") != "zz_advancer")
@@ -734,10 +736,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver consumes only the FIRST 50 dict entries.
+    # The front block holds the queries with the least accumulated driver
+    # evidence (r1-r4 coverage gaps); the tail block holds queries rotated
+    # out this round — every one of them is green in CORRECTNESS_r03/r04 and
+    # shares its oracle (or its component) with a sibling that stays in the
+    # window, so no component loses its only driver row.
     return {
+        # least-evidenced first: never driver-checked in any round (r1-r4)
+        "table_profile": _sql(OQ.table_profile_sql),
+        "zscore_normalize": _sql(OQ.zscore_sql),
+        "rank_binning": _sql(OQ.rank_binning_sql),
+        # r3-green, rotated out by the r4 window — restore coverage
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_vocab": q_token_vocab,
+        "stratified_sample": q_stratified_sample,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         # transcript feature engine (SQL-templated pairs)
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
-        "sessionize_bucketed": q_sessionize_bucketed,
         "stream_counts": q_stream_counts,
         "stream_features": q_stream_features,
         "session_features_sql": _sql(OQ.feature_vector_sql),
@@ -749,17 +767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features_fast": q_feature_vector_fast,
         "session_features_salted": q_session_features_salted,
         "dedup_turns": q_dedup_turns,
-        "asof_merge": q_asof_merge,
         "asof_fast": q_asof_fast,
-        "asof_tolerance": q_asof_tolerance,
-        "asof_running_vector": q_asof_running_vector,
-        "asof_union_window_api": q_asof_union_window_api,
         "asof_forward": _sql(OQ.asof_forward_sql),
         "rolling_features": q_rolling_features,
         "interval_join": q_interval_join,
         "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
-        "time_cube": _sql(OQ.time_cube_sql),
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "transition_matrix": q_transition_matrix,
@@ -774,7 +787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": _sql(OQ.distinct_count_sql),
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
-        "whole_table_features": _sql(OQ.whole_table_features_sql),
         "per_source_features": q_per_source_features,
         "proto_tag_filter": q_proto_tag,
         "json_field": _sql(OQ.json_field_sql),
@@ -782,22 +794,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_docs": q_simhash_docs,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
-        "stratified_sample": q_stratified_sample,
-        "token_vocab": q_token_vocab,
-        "rank_binning": _sql(OQ.rank_binning_sql),
-        "dedup_clusters": q_dedup_clusters,
-        "table_profile": _sql(OQ.table_profile_sql),
-        "zscore_normalize": _sql(OQ.zscore_sql),
+        # --- entries below are OUTSIDE the driver's 50-entry window this
+        # round: each is r3/r4-green and oracle-shares with a sibling above
+        # (sessionize_counts, asof_fast/asof_union_window_sql, time_rollup,
+        # minhash_lsh_pairs, simhash_pairs, whole_table_flow cover them)
+        "sessionize_bucketed": q_sessionize_bucketed,
+        "asof_merge": q_asof_merge,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_running_vector": q_asof_running_vector,
+        "asof_union_window_api": q_asof_union_window_api,
+        "time_cube": _sql(OQ.time_cube_sql),
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_docs": q_simhash_docs,
+        "whole_table_features": _sql(OQ.whole_table_features_sql),
     }
 
 

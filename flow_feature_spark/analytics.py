@@ -44,8 +44,17 @@ def funnel_counts(
     step; conv_rate = reach / step-1 reach, r6-rounded. ``steps`` must be
     non-empty; a user reaches step i+1 only via an event strictly after
     their step-i first-qualifying event, and (with ``max_step_gap_seconds``)
-    no later than that many seconds after it — the conversion-window form
-    every product funnel uses."""
+    no later than that many seconds after it.
+
+    Anchoring semantics: GREEDY FIRST-ANCHOR. Each step anchors on the
+    user's FIRST qualifying event only — with ``max_step_gap_seconds`` set,
+    a funnel completed via a later re-entry (the first view's window
+    expires, a second view converts) is NOT counted, an undercount relative
+    to re-anchoring funnel definitions some product-analytics tools use.
+    This single-anchor form is what one window-min chain per step can
+    express in one exchange; a re-anchoring variant needs a per-user
+    sequential scan (sessionize-then-funnel). Engine and SQL oracle agree
+    exactly (test_funnel_uses_earliest_qualifying_not_any pins this)."""
     if not steps:
         raise ValueError("funnel_counts requires at least one step")
     gap_us = (
@@ -202,15 +211,22 @@ def histogram_drift(
     statistic every feature-store monitor wants, in purely rational
     arithmetic so both engines agree bit-for-bit (no logs, unlike PSI).
     One scan, one (split, bin) aggregate, window totals over the tiny
-    histogram frame."""
+    histogram frame.
+
+    NULL values get their own NULL-bin row (they are missing data, not
+    underflow — Spark's NULL-skipping ``greatest`` would otherwise silently
+    clamp floor(NULL) into bin -1, and DuckDB's pre-1.1 NULL-propagating
+    ``greatest`` would disagree with it)."""
     if n_bins <= 0 or not hi > lo:
         raise ValueError("need n_bins > 0 and hi > lo")
     width = (hi - lo) / n_bins
     v = F.expr(value_expr).cast("double")
-    bin_col = F.least(
-        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(-1)),
-        F.lit(n_bins),
-    ).cast("int")
+    bin_col = F.when(v.isNull(), F.lit(None).cast("int")).otherwise(
+        F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+            F.lit(n_bins),
+        ).cast("int")
+    )
     base = events.select(
         F.expr(split_expr).cast("boolean").alias("__is_ref"),
         bin_col.alias("bin_idx"),

@@ -298,22 +298,36 @@ def compact_table(
     files_before = _count_parquet_files(fs, hpath)
     n_files = max(1, -(-total_bytes // target_file_bytes))
 
-    df = spark.read.parquet(path)
+    # An in-place rewrite must read partition values back VERBATIM: with
+    # default partition-column type inference a numeric-looking string value
+    # (src=00123) is inferred as int and rewritten as src=123 — compaction
+    # would silently alter partition values and flip the column's type for
+    # tables partitioned on string keys. Disable inference for the rewrite
+    # read (partition columns come back as string, their on-disk spelling);
+    # restore the session setting afterwards.
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_before = spark.conf.get(_INFER, "true")
     tmp = path.rstrip("/") + f".compact.{uuid.uuid4().hex}"
-    if part_cols:
-        # co-locate each partition value into one task -> one output file per
-        # value per partition directory
-        if sort_cols:
-            df = df.repartition(*part_cols).sortWithinPartitions(*sort_cols)
+    try:
+        if part_cols:
+            spark.conf.set(_INFER, "false")
+        df = spark.read.parquet(path)
+        if part_cols:
+            # co-locate each partition value into one task -> one output file
+            # per value per partition directory
+            if sort_cols:
+                df = df.repartition(*part_cols).sortWithinPartitions(*sort_cols)
+            else:
+                df = df.repartition(*part_cols)
+            df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
         else:
-            df = df.repartition(*part_cols)
-        df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-    else:
-        if sort_cols:
-            df = df.repartitionByRange(n_files, *sort_cols)
-        else:
-            df = df.coalesce(n_files) if n_files < files_before else df.repartition(n_files)
-        df.write.mode("overwrite").parquet(tmp)
+            if sort_cols:
+                df = df.repartitionByRange(n_files, *sort_cols)
+            else:
+                df = df.coalesce(n_files) if n_files < files_before else df.repartition(n_files)
+            df.write.mode("overwrite").parquet(tmp)
+    finally:
+        spark.conf.set(_INFER, infer_before)
 
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".precompact")

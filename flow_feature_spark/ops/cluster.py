@@ -103,8 +103,17 @@ def _propagate_long(sym: DataFrame, max_iter: int, checkpoint_every: int) -> Dat
         labels = next_labels
         if changed == 0:
             sym.unpersist()
+            if prev_holder is not None:
+                # the converged labels are still backed by this round's
+                # persisted frame — materialize them into their own storage
+                # (localCheckpoint) and release the cache, so no caller-held
+                # reference keeps a session-lifetime cached frame alive
+                labels = labels.localCheckpoint(eager=True)
+                prev_holder.unpersist()
             return labels
     sym.unpersist()
+    if prev_holder is not None:
+        prev_holder.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(graph diameter exceeds the budget); raise max_iter"

@@ -1220,7 +1220,9 @@ def histogram_drift_sql(
     return f"""
 WITH b AS (
   SELECT ({split_sql}) AS is_ref,
-         cast(least(greatest(floor((cast({value_sql} AS double) - {lo!r}) / {width!r}), -1), {n_bins}) AS int) AS bin_idx
+         CASE WHEN ({value_sql}) IS NULL THEN NULL
+              ELSE cast(least(greatest(floor((cast({value_sql} AS double) - {lo!r}) / {width!r}), -1), {n_bins}) AS int)
+         END AS bin_idx
   FROM events
 ),
 h AS (

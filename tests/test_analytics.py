@@ -261,3 +261,22 @@ def test_randomized_brute_force_against_python_oracle(spark):
     got_cr = {(r["cohort_day"], r["day_offset"]): r["n_users"]
               for r in cohort_retention(ev).collect()}
     assert got_cr == dict(want_cr)
+
+
+def test_histogram_drift_null_values_get_null_bin(spark):
+    """NULL values are missing data, not underflow: they land in a dedicated
+    NULL-bin row instead of being silently clamped into bin -1 (Spark's
+    NULL-skipping greatest would do that; DuckDB's pre-1.1 NULL-propagating
+    greatest would then disagree — explicit handling keeps both engines
+    deterministic and in agreement)."""
+    from flow_feature_spark.analytics import histogram_drift
+
+    rows = ([(0, None), (2, None), (4, 50.0), (6, 50.0)]      # ref: 2 NULL
+            + [(1, None), (3, 50.0), (5, 50.0), (7, -5.0)])   # cur: 1 NULL
+    df = spark.createDataFrame(rows, "event_id long, v double")
+    out = {r["bin_idx"]: r for r in histogram_drift(
+        df, "v", "event_id % 2 = 0", n_bins=10, lo=0.0, hi=100.0).collect()}
+    assert out[None]["n_ref"] == 2 and out[None]["n_cur"] == 1
+    # the underflow bin holds only the genuine -5.0, never the NULLs
+    assert out[-1]["n_ref"] == 0 and out[-1]["n_cur"] == 1
+    assert out[5]["n_ref"] == 2 and out[5]["n_cur"] == 2

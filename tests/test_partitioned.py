@@ -153,3 +153,31 @@ def test_compact_preserves_hive_partition_layout(spark, tmp_path):
     one_day = dirs[0].split("=", 1)[1]
     plan = _scan_meta(after.filter(F.col("event_date") == F.lit(one_day).cast("date")))
     assert "event_date" in _partition_filters(plan)
+
+
+def test_compact_preserves_string_partition_values_verbatim(spark, tmp_path):
+    """An in-place compaction must not rewrite partition VALUES: a
+    numeric-looking string partition (src=00123) would be inferred as int by
+    the default rewrite read and come back as src=123 — a silent value and
+    type change. compact_table disables partition-column type inference for
+    its rewrite read, so the on-disk spelling survives."""
+    from flow_feature_spark.io import compact_table
+
+    df = spark.createDataFrame(
+        [(i, "00123" if i % 2 == 0 else "7A") for i in range(200)],
+        "id long, src string",
+    )
+    out = f"{tmp_path}/by_src"
+    df.repartition(4).write.partitionBy("src").parquet(out)
+    dirs_before = sorted(_partition_dirs(out, "src"))
+    assert dirs_before == ["src=00123", "src=7A"]
+
+    stats = compact_table(spark, out)
+    assert stats["partition_cols"] == ["src"]
+    assert sorted(_partition_dirs(out, "src")) == dirs_before
+    after = spark.read.option(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    ).parquet(out)
+    assert after.count() == 200
+    vals = {r["src"] for r in after.select("src").distinct().collect()}
+    assert vals == {"00123", "7A"}
