@@ -256,3 +256,117 @@ def test_driver_stream_counts_equals_batch_oracle(spark):
     )
     want = sorted(map(tuple, spark.sql(OQ.sessionize_counts_sql("spark")).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stateful_features_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
+    """S4's resumability promise extended to W7: kill the stateful streaming
+    query while sessions are OPEN in the state store, restart it from the
+    same checkpointLocation with the remaining turns, and the union of the
+    two runs' sink output must be bit-identical to the batch kernel over all
+    turns — no session lost (state restored across restart), none doubled
+    (exactly-once sink commits via the checkpoint's metadata log)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
+    from flow_feature_spark.schema import FEATURE_NAMES
+    from flow_feature_spark.streaming import stateful_session_features
+
+    tr = synth_transcripts(spark, n_convs=10, turns_mean=8, hot_factor=2)
+    turns = normalize_turns(tr).select(
+        "conv_id", "turn_idx", "ts", "ts_us", "is_fwd", "plen", "win", "flags", "ihl"
+    )
+    cut = turns.approxQuantile("ts_us", [0.5], 0.0)[0]
+    early, late = turns.filter(F2.col("ts_us") <= cut), turns.filter(F2.col("ts_us") > cut)
+    assert early.count() > 0 and late.count() > 0
+
+    max_us = turns.agg(F2.max("ts_us")).collect()[0][0]
+    advancers = []
+    for j, off in enumerate((10**9 * 3600, 10**9 * 3600 * 2)):
+        adv_us = max_us + off
+        advancers.append(
+            turns.limit(1).select(
+                F2.lit("zz_advancer").alias("conv_id"),
+                F2.lit(j).cast("int").alias("turn_idx"),
+                F2.timestamp_micros(F2.lit(adv_us)).alias("ts"),
+                F2.lit(adv_us).alias("ts_us"),
+                F2.lit(False).alias("is_fwd"),
+                F2.lit(0).cast("long").alias("plen"),
+                F2.lit(0).cast("long").alias("win"),
+                F2.lit(0).cast("int").alias("flags"),
+                F2.lit(0).cast("long").alias("ihl"),
+            )
+        )
+
+    src = f"{tmp_path}/in"
+    out_dir, cp = f"{tmp_path}/out", f"{tmp_path}/cp"
+
+    def _stage(i, df):
+        sub = f"{src}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    def _run():
+        schema = spark.read.parquet(f"{src}/batch0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/batch*")
+        )
+        q = (
+            stateful_session_features(
+                stream, gap_seconds=1800.0, rounding="r6",
+                timeout="event_time", watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: only the early half is visible — the query drains it, commits
+    # its offsets + state, and terminates with every conv's tail OPEN in the
+    # state store (the "kill" point: a restart must recover those buffers)
+    _stage(0, early)
+    _run()
+    emitted_mid = spark.read.parquet(out_dir).filter(
+        F2.col("conv_id") != "zz_advancer"
+    ).count()
+
+    # run 2: the late half + two watermark advancers appear; a NEW query
+    # resumes from the same checkpoint (file-source offsets skip batch0,
+    # state store restores the open tails, advancers flush every tail)
+    _stage(1, late)
+    _stage(2, advancers[0])
+    _stage(3, advancers[1])
+    _run()
+
+    got = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in spark.read.parquet(out_dir)
+        .filter(F2.col("conv_id") != "zz_advancer")
+        .collect()
+    }
+    batch = {
+        (r["conv_id"], r["session_id"]): [r[n] for n in FEATURE_NAMES]
+        for r in sessionize_and_extract_fast(
+            turns.drop("ts"), 1800.0, rounding="r6"
+        ).collect()
+    }
+    # the restart actually mattered: some sessions were only completable
+    # with run-2 data (or tails flushed by run-2 watermarks)
+    assert len(got) > emitted_mid
+    # no loss, no duplicates, bit-equal vectors
+    assert set(got) == set(batch), (set(batch) - set(got), set(got) - set(batch))
+    for k, v in got.items():
+        assert v == batch[k], (k, [
+            (n, a, b) for n, a, b in zip(FEATURE_NAMES, v, batch[k]) if a != b
+        ])
