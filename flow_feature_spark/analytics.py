@@ -123,11 +123,18 @@ def cohort_retention(
     user_col: str = "user_id",
     ts_col: str = "ts",
     max_offset_days: int | None = None,
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """(cohort_day, day_offset, n_users) — distinct users of each first-day
     cohort active ``day_offset`` days after their first day. Offset 0 row is
     the cohort size. ``max_offset_days`` truncates the long tail (None keeps
-    all offsets)."""
+    all offsets).
+
+    ``exact_distinct=False`` is the 10^12-row scale twin: the per-cell
+    COUNT(DISTINCT) becomes an HLL ``approx_count_distinct`` sketch (~2%
+    rsd), dropping the Expand/dedup of exact distinct aggregation — same
+    switch profile_table and time_rollup's scale path use. The driver query
+    keeps the exact default (cross-engine hash gate)."""
     w = Window.partitionBy("__user").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -135,6 +142,7 @@ def cohort_retention(
     df = events.select(
         F.col(user_col).alias("__user"), day.alias("__day")
     ).withColumn("cohort_day", F.min("__day").over(w))
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
     out = (
         df.select(
             "__user",
@@ -144,7 +152,7 @@ def cohort_retention(
             ),
         )
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("__user").cast("bigint").alias("n_users"))
+        .agg(distinct("__user").cast("bigint").alias("n_users"))
     )
     if max_offset_days is not None:
         out = out.filter(F.col("day_offset") <= max_offset_days)

@@ -97,6 +97,7 @@ def hopping_window_counts(
     bytes_expr: str = "length(coalesce(props, ''))",
     size: str = "6 hours",
     slide: str = "2 hours",
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """Hopping (sliding) window aggregates: one row per slide-aligned window
     of length ``size`` — the overlapping-window twin of ``time_rollup``'s
@@ -105,13 +106,20 @@ def hopping_window_counts(
     explode-to-windows step happens inside Catalyst's TimeWindow expansion,
     one shuffle on the window key. Window bounds are emitted as exact bigint
     microseconds (cross-engine hash-stable; the DuckDB oracle reproduces the
-    grid with pure integer arithmetic)."""
+    grid with pure integer arithmetic).
+
+    ``exact_distinct=False``: HLL sketch per window instead of exact
+    COUNT(DISTINCT) — at 10^12 rows each event is replicated size/slide
+    times, so the exact distinct's dedup shuffle multiplies with the
+    replication factor; the sketch keeps the replicated agg map-side
+    partial. Driver query stays exact."""
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
     w = F.window(F.col(ts_col).cast("timestamp"), size, slide)
     return (
         df.groupBy(w.alias("w"), )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.countDistinct(F.col(entity_col)).cast("bigint").alias("n_users"),
+            distinct(F.col(entity_col)).cast("bigint").alias("n_users"),
             F.sum(F.expr(bytes_expr).cast("bigint")).cast("bigint").alias(
                 "bytes_total"
             ),

@@ -280,3 +280,20 @@ def test_histogram_drift_null_values_get_null_bin(spark):
     # the underflow bin holds only the genuine -5.0, never the NULLs
     assert out[-1]["n_ref"] == 0 and out[-1]["n_cur"] == 1
     assert out[5]["n_ref"] == 2 and out[5]["n_cur"] == 2
+
+
+def test_cohort_retention_approx_twin(spark):
+    """The 10^12-row scale twin: exact_distinct=False swaps the per-cell
+    COUNT(DISTINCT) for an HLL sketch whose counts stay within tolerance of
+    the exact grid on every (cohort, offset) cell, with the grid keys
+    themselves identical."""
+    from flow_feature_spark.analytics import cohort_retention
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+             for r in cohort_retention(ev).collect()}
+    approx = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+              for r in cohort_retention(ev, exact_distinct=False).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])

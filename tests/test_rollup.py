@@ -144,3 +144,21 @@ def test_hopping_window_membership_and_counts(spark):
     assert got == want
     # every event is in exactly n windows
     assert sum(v[0] for v in got.values()) == len(rows) * n
+
+
+def test_hopping_window_approx_twin(spark):
+    """Hopping-window scale twin: exact_distinct=False keeps the exact
+    window grid and exact n_events/bytes_total while n_users becomes an HLL
+    estimate within tolerance per window."""
+    from flow_feature_spark.rollup import hopping_window_counts
+
+    ev = _events(spark, n=4000, seed=11)
+    exact = {r["win_start_us"]: r for r in hopping_window_counts(ev).collect()}
+    approx = {r["win_start_us"]: r
+              for r in hopping_window_counts(ev, exact_distinct=False).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert (a["n_events"], a["bytes_total"], a["win_end_us"]) == (
+            e["n_events"], e["bytes_total"], e["win_end_us"])
+        assert abs(a["n_users"] - e["n_users"]) <= max(3, 0.15 * e["n_users"])
