@@ -11,10 +11,10 @@ Results -> BENCH/CLUSTER_SMOKE.md. Run on an otherwise-idle machine.
 
 from __future__ import annotations
 
-import sys
+import os
 import time
 
-sys.path.insert(0, "/root/repo")
+from harness import BENCH_DIR, tool_spark
 
 N_CHAINS = 200_000
 CHAIN = 10
@@ -26,9 +26,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from flow_feature_spark.ops.cluster import connected_components
-    from flow_feature_spark.session import get_spark
 
-    spark = get_spark(master="local[32]", shuffle_partitions=64, app_name="cc_smoke")
+    spark = tool_spark("cc_smoke", cpus=32, shuffle_partitions=64)
 
     n_chain_nodes = N_CHAINS * CHAIN
     chains = spark.range(n_chain_nodes).filter(
@@ -75,7 +74,8 @@ def main() -> int:
         "jumping keeps the round count logarithmic and the hub's label flood",
         "is one hash-aggregate — no per-component task, no driver-side graph.",
     ]) + "\n"
-    with open("/root/repo/BENCH/CLUSTER_SMOKE.md", "w") as f:
+    # full rewrite on purpose: this smoke is a single-snapshot artifact
+    with open(os.path.join(BENCH_DIR, "CLUSTER_SMOKE.md"), "w") as f:
         f.write(out)
     print(out)
     spark.stop()

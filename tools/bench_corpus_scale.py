@@ -30,10 +30,8 @@ import os
 import shutil
 import sys
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import append_bench, max_task_rows, tool_spark, utc_stamp
 
 VOCAB = 30_000
 VARIANT_FRAC = 0.3  # 30% of docs are near-dup variants of a base doc
@@ -90,18 +88,6 @@ def build_corpus(spark, n_docs: int, path: str) -> dict:
     return {"n_docs": n_docs, "n_base": n_base, "n_var": n_var, "gen_s": gen_s}
 
 
-def max_task_rows(df) -> tuple[int, int]:
-    from pyspark.sql import functions as F
-
-    r = (
-        df.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
-        .agg(F.max("count"), F.count("*"))
-        .collect()[0]
-    )
-    return int(r[0]), int(r[1])
-
-
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ffs_corpus_scale"
@@ -111,11 +97,10 @@ def main() -> int:
 
     from flow_feature_spark.ops import dedup as dd
     from flow_feature_spark.ops.cluster import dedup_clusters
-    from flow_feature_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="corpus_scale",
-        master="local[32]",
+    spark = tool_spark(
+        "corpus_scale",
+        cpus=32,
         shuffle_partitions=64,
         extra_conf={"spark.driver.memory": "48g"},
     )
@@ -224,8 +209,7 @@ def main() -> int:
     }
     print("RESULT " + json.dumps(out))
 
-    md_path = os.path.join(REPO, "BENCH", "CORPUS_SCALE.md")
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    stamp = utc_stamp()
     lines = [
         f"\n## {n_docs:,}-doc chain @ local[32] — {stamp}\n",
         f"Corpus: {meta['n_base']:,} base + {meta['n_var']:,} variant docs "
@@ -250,13 +234,11 @@ def main() -> int:
         f"{ok_kept}.",
         "",
     ]
-    hdr = "# Corpus-scale dedup chain (million-doc evidence)\n"
-    if not os.path.exists(md_path):
-        with open(md_path, "w") as fh:
-            fh.write(hdr)
-    with open(md_path, "a") as fh:
-        fh.write("\n".join(lines))
-    print(f"wrote {md_path}")
+    append_bench(
+        "CORPUS_SCALE.md",
+        "\n".join(lines),
+        title="Corpus-scale dedup chain (million-doc evidence)",
+    )
 
     pairs.unpersist()
     clusters.unpersist()

@@ -15,13 +15,10 @@ Usage: python tools/bench_profile_scale.py [n_rows]
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import append_bench, tool_spark, utc_stamp
 
 
 def main() -> int:
@@ -30,11 +27,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from flow_feature_spark.profile import profile_table
-    from flow_feature_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="profile_scale", master="local[32]", shuffle_partitions=32
-    )
+    spark = tool_spark("profile_scale", cpus=32)
     df = (
         spark.range(n_rows)
         .select(
@@ -91,11 +85,8 @@ def main() -> int:
     }
     print("RESULT " + json.dumps(out))
 
-    md = os.path.join(REPO, "BENCH", "PROFILE_SCALE.md")
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    hdr = "# Profiler exact vs HLL at scale\n" if not os.path.exists(md) else ""
-    with open(md, "a") as fh:
-        fh.write(f"""{hdr}
+    stamp = utc_stamp()
+    append_bench("PROFILE_SCALE.md", f"""
 ## {n_rows:,} rows x 6 columns (cached input, local[32]) — {stamp}
 
 | path | plan | wall (best of 3) |
@@ -107,8 +98,7 @@ Speedup {out['speedup']}x; max HLL relative error across columns
 {out['max_hll_rel_err']:.2%} (cardinalities 31 .. {n_rows:,}). The sketch
 path is the 10^12-row default — plan shapes asserted here and in
 tests/test_job_cli.py::test_profile_hll_path_drops_expand.
-""")
-    print(f"wrote {md}")
+""", title="Profiler exact vs HLL at scale")
     spark.stop()
     return 0
 

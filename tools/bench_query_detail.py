@@ -16,10 +16,8 @@ import os
 import statistics
 import sys
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import append_bench, tool_spark, utc_stamp
 
 
 def main() -> int:
@@ -30,13 +28,11 @@ def main() -> int:
     names = args or ["broadcast_join", "minhash_lsh_pairs", "simhash_docs"]
 
     import __spark_entry__ as entrymod
-    from flow_feature_spark.session import get_spark
 
-    spark = get_spark(app_name="bench_query_detail", master="local[32]",
-                      shuffle_partitions=32)
+    spark = tool_spark("bench_query_detail", cpus=32)
     qmap = entrymod.queries()
 
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    stamp = utc_stamp()
     md = [f"", f"## Query detail ({stamp}) — {sf_dir}, local[32], 5 runs + warm-up", "",
           "| query | min s | median s | runs |", "|---|---|---|---|"]
     plans = []
@@ -60,11 +56,7 @@ def main() -> int:
     spark.stop()
 
     md += ["", *plans]
-    out = os.path.join(REPO, "BENCH", "QUERY_DETAIL.md")
-    mode = "a" if os.path.exists(out) else "w"
-    with open(out, mode) as fh:
-        fh.write("\n".join(md) + "\n")
-    print(f"wrote {out}")
+    append_bench("QUERY_DETAIL.md", "\n".join(md))
     print("\n".join(md[:12]))
     return 0
 

@@ -17,19 +17,14 @@ Run on an otherwise-idle machine: python tools/bench_rangejoin.py
 
 from __future__ import annotations
 
-import sys
+import os
 import time
 
-sys.path.insert(0, "/root/repo")
+from harness import BENCH_DIR, best_of, tool_spark
 
 
 def _timed(fn, n=3):
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
+    return best_of(fn, n=n)[0]
 
 
 def main() -> int:
@@ -39,9 +34,7 @@ def main() -> int:
         interval_join_bucketed,
         interval_join_naive,
     )
-    from flow_feature_spark.session import get_spark
-
-    spark = get_spark(master="local[32]", shuffle_partitions=32, app_name="rj_bench")
+    spark = tool_spark("rj_bench", cpus=32)
     lines: list[str] = [
         "# Interval (range) join: bucketized vs naive",
         "",
@@ -137,7 +130,8 @@ def main() -> int:
         f"(BENCH/BASELINE.md) — best-of-3 minima shown.",
     ]
     out = "\n".join(lines) + "\n"
-    with open("/root/repo/BENCH/RANGEJOIN.md", "w") as f:
+    # full rewrite on purpose: top-of-file snapshot; scaling/skew sections append
+    with open(os.path.join(BENCH_DIR, "RANGEJOIN.md"), "w") as f:
         f.write(out)
     print(out)
     spark.stop()

@@ -10,9 +10,7 @@ Run on an otherwise-idle machine: python tools/bench_rangejoin_scaling.py
 
 from __future__ import annotations
 
-import json
-import subprocess
-import sys
+from harness import append_bench, run_worker
 
 WORKER = r"""
 import json, sys, time
@@ -48,12 +46,7 @@ spark.stop()
 def main() -> int:
     rows = {}
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        rows[cpus] = json.loads(line)
+        rows[cpus] = run_worker(WORKER, str(cpus))
         print(rows[cpus])
     e_ideal = rows[32]["probes_per_s"] / (4 * rows[8]["probes_per_s"])
     table = "\n".join([
@@ -72,8 +65,7 @@ def main() -> int:
         " (compare the same-day pure-CPU ceiling in BENCH/BASELINE.md — the"
         " VM itself does not scale 4x over this range).",
     ]) + "\n"
-    with open("/root/repo/BENCH/RANGEJOIN.md", "a") as f:
-        f.write(table)
+    append_bench("RANGEJOIN.md", table)
     print(table)
     return 0
 

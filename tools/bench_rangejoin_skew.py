@@ -21,13 +21,9 @@ Usage: python tools/bench_rangejoin_skew.py   (appends to BENCH/RANGEJOIN.md)
 from __future__ import annotations
 
 import json
-import os
-import sys
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import append_bench, tool_spark, utc_stamp
 
 BUCKET_US = 3_600_000_000  # 1 h
 
@@ -99,11 +95,9 @@ def measure(spark, probes, iv) -> dict:
 
 
 def main() -> int:
-    from flow_feature_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="rangejoin_skew",
-        master="local[32]",
+    spark = tool_spark(
+        "rangejoin_skew",
+        cpus=32,
         shuffle_partitions=64,
         extra_conf={
             # both sides must SHUFFLE for skew-split to have a surface
@@ -138,10 +132,8 @@ def main() -> int:
     out = {"skew_off": off, "skew_on": on}
     print("RESULT " + json.dumps(out))
 
-    md = os.path.join(REPO, "BENCH", "RANGEJOIN.md")
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    with open(md, "a") as fh:
-        fh.write(f"""
+    stamp = utc_stamp()
+    append_bench("RANGEJOIN.md", f"""
 ## AQE skew-split on the bucketized join — {stamp}
 
 One (entity, bucket) probe cell at ~50x the median (100k rows vs 2k), joined
@@ -160,7 +152,6 @@ the shuffle reader, dropping the largest task by
 {round(off['max_task_rows'] / max(on['max_task_rows'], 1), 1)}x — the
 per-task ceiling the docstring promises survives a hot cell.
 """)
-    print(f"wrote {md}")
     spark.stop()
     return 0
 

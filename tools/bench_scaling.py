@@ -19,9 +19,9 @@ import subprocess
 import sys
 import tempfile
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from harness import REPO, tool_spark, utc_stamp
+
 LEVELS = [2, 8, 32]
 # at the 30M-turn input (VERDICT r2 item 2: jobs are 30-300 s, jitter-proof)
 # one warm-up suffices; the 3.5M-turn default keeps 2
@@ -113,13 +113,11 @@ def hardware_ceiling() -> dict:
 def main() -> int:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
 
-    sys.path.insert(0, REPO)
-    from flow_feature_spark.session import get_spark
     from flow_feature_spark.synth import synth_transcripts
 
     path = os.path.join(tempfile.mkdtemp(prefix="ffs_scaling_", dir="/dev/shm"),
                         "transcripts")
-    spark = get_spark(app_name="scaling_gen", master="local[32]", shuffle_partitions=64)
+    spark = tool_spark("scaling_gen", cpus=32, shuffle_partitions=64)
     synth_transcripts(spark, n_convs=n_convs, turns_mean=60, hot_factor=100)\
         .write.mode("overwrite").parquet(path)
     spark.stop()
@@ -144,7 +142,7 @@ def main() -> int:
     md = [
         "# BENCH — scaling efficiency (N vs 4N cores)",
         "",
-        f"Generated {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')} by"
+        f"Generated {utc_stamp()} by"
         " `python tools/bench_scaling.py`. Same jobs, same tmpfs parquet input;",
         f"each level in its own JVM; shuffle partitions = 2 x cores; {WARMUPS}"
         f" warm-ups discarded, median of {RUNS} timed runs.",

@@ -20,10 +20,8 @@ import os
 import subprocess
 import sys
 import time
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import REPO, append_bench, tool_spark, utc_stamp
 
 WORKER = """
 import json, sys, time
@@ -74,10 +72,9 @@ def main() -> int:
     os.makedirs(workdir, exist_ok=True)
     path = f"{workdir}/scaling_large_input"
 
-    from flow_feature_spark.session import get_spark
     from flow_feature_spark.synth import synth_transcripts
 
-    spark = get_spark(app_name="scal_lg_gen", master="local[32]",
+    spark = tool_spark("scal_lg_gen", cpus=32,
                       shuffle_partitions=64)
     t0 = time.time()
     synth_transcripts(spark, n_convs=n_convs, turns_mean=60, hot_factor=100) \
@@ -96,7 +93,7 @@ def main() -> int:
     lines = [
         "",
         f"## Overhead-amortized 8 vs 32 at {n_rows:,} turns — "
-        f"{datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')} "
+        f"{utc_stamp()} "
         "(tools/bench_scaling_large.py)",
         "",
         "The 29.7M-turn sweep above leaves the 32-core JVM-engine walls at",
@@ -131,9 +128,7 @@ def main() -> int:
         "",
     ]
     print("RESULT " + json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
-        fh.write("\n".join(lines))
-    print("appended BENCH/BASELINE.md")
+    append_bench("BASELINE.md", "\n".join(lines))
 
     import shutil
     shutil.rmtree(path, ignore_errors=True)

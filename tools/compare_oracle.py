@@ -70,11 +70,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as entrymod
-    from flow_feature_spark.session import get_spark
+    from harness import tool_spark  # bootstraps repo root onto sys.path
 
-    spark = get_spark(app_name="compare_oracle", master="local[8]", shuffle_partitions=16)
+    import __spark_entry__ as entrymod
+
+    spark = tool_spark("compare_oracle", cpus=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in entrymod.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

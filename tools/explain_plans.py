@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+from harness import tool_spark
 
 
 def plan_of(df, mode: str = "formatted") -> str:
@@ -29,10 +29,9 @@ def main() -> int:
     import __spark_entry__ as e
     from flow_feature_spark.kernel_fast import sessionize_and_extract_fast
     from flow_feature_spark.prepare import normalize_turns
-    from flow_feature_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16, app_name="explain")
+    spark = tool_spark("explain", cpus=8, shuffle_partitions=16)
     failures: list[str] = []
 
     def check(name: str, ok: bool, detail: str = "") -> None:

@@ -19,10 +19,8 @@ from __future__ import annotations
 
 import os
 import sys
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+from harness import append_bench, tool_spark, utc_stamp
 
 
 def main() -> int:
@@ -31,10 +29,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from flow_feature_spark.ops import dedup as dd
-    from flow_feature_spark.session import get_spark
 
-    spark = get_spark(app_name="minhash_quality", master="local[32]",
-                      shuffle_partitions=32)
+    spark = tool_spark("minhash_quality", cpus=32)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus_note = "near-dup-heavy testdata corpus"
     if os.environ.get("MINHASH_SYNTH_MIDBAND"):
@@ -99,7 +95,7 @@ def main() -> int:
             )
     spark.stop()
 
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    stamp = utc_stamp()
     md = [
         f"# MinHash LSH candidate quality ({stamp})",
         "",
@@ -113,11 +109,7 @@ def main() -> int:
         "|---|---|---|---|---|---|",
         *rows,
     ]
-    out = os.path.join(REPO, "BENCH", "MINHASH_QUALITY.md")
-    mode = "a" if os.path.exists(out) else "w"
-    with open(out, mode) as fh:
-        fh.write("\n".join(md) + "\n")
-    print(f"wrote {out}")
+    append_bench("MINHASH_QUALITY.md", "\n".join(md))
     return 0
 
 

@@ -21,9 +21,9 @@ import os
 import subprocess
 import sys
 import tempfile
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from harness import REPO, append_bench, tool_spark, utc_stamp
+
 LEVELS = [8, 32]
 
 WORKER = """
@@ -81,13 +81,11 @@ print("RESULT " + json.dumps(out))
 def main() -> int:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 
-    sys.path.insert(0, REPO)
-    from flow_feature_spark.session import get_spark
     from flow_feature_spark.synth import synth_transcripts
 
     path = os.path.join(tempfile.mkdtemp(prefix="ffs_decomp_", dir="/dev/shm"),
                         "transcripts")
-    spark = get_spark(app_name="decomp_gen", master="local[32]",
+    spark = tool_spark("decomp_gen", cpus=32,
                       shuffle_partitions=64)
     synth_transcripts(spark, n_convs=n_convs, turns_mean=60, hot_factor=100,
                       partitions=64).write.mode("overwrite").parquet(path)
@@ -109,7 +107,7 @@ def main() -> int:
         print(json.dumps(results[cpus]))
 
     stages = ["scan", "scan_agg", "shuffle", "window", "exact_sql", "kernel"]
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    stamp = utc_stamp()
     md = [
         "", f"## Stage decomposition ({stamp}) — which term caps 8->32",
         "",
@@ -134,11 +132,7 @@ def main() -> int:
         "",
         "Raw:", "```json", json.dumps(results, indent=2), "```",
     ]
-    out = os.path.join(REPO, "BENCH", "DECOMPOSE.md")
-    mode = "a" if os.path.exists(out) else "w"
-    with open(out, mode) as fh:
-        fh.write("\n".join(md) + "\n")
-    print(f"wrote {out}")
+    append_bench("DECOMPOSE.md", "\n".join(md))
     return 0
 
 

@@ -25,9 +25,8 @@ import os
 import subprocess
 import sys
 import tempfile
-from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from harness import REPO, append_bench, tool_spark, utc_stamp
 
 WORKER = """
 import json, sys, time
@@ -108,13 +107,11 @@ def main() -> int:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     hot_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 
-    sys.path.insert(0, REPO)
-    from flow_feature_spark.session import get_spark
     from flow_feature_spark.synth import synth_transcripts
 
     path = os.path.join(tempfile.mkdtemp(prefix="ffs_skew_", dir="/dev/shm"),
                         "transcripts")
-    spark = get_spark(app_name="skew_gen", master="local[32]", shuffle_partitions=64)
+    spark = tool_spark("skew_gen", cpus=32, shuffle_partitions=64)
     tr = synth_transcripts(spark, n_convs=n_convs, turns_mean=60,
                            hot_factor=hot_factor, partitions=64)
     tr.write.mode("overwrite").parquet(path)
@@ -144,7 +141,7 @@ def main() -> int:
         results[job] = json.loads(lines[-1][len("RESULT "):])
         print(json.dumps(results[job]))
 
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    stamp = utc_stamp()
     md = [
         "",
         f"## Extreme-skew re-run ({stamp}) — de-skewed salted pre-pass",
@@ -179,9 +176,7 @@ def main() -> int:
         md += ["| stage | max task rows | tasks |", "|---|---|---|"]
         for name, r in taskrows.items():
             md.append(f"| {name} | {r['max_task_rows']:,} | {r['n_tasks']} |")
-    with open(os.path.join(REPO, "BENCH", "SCALE_SMOKE.md"), "a") as fh:
-        fh.write("\n".join(md) + "\n")
-    print("appended BENCH/SCALE_SMOKE.md")
+    append_bench("SCALE_SMOKE.md", "\n".join(md))
     return 0
 
 

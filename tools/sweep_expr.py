@@ -15,7 +15,7 @@ import subprocess
 import sys
 import tempfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from harness import REPO, tool_spark
 
 WORKER = """
 import json, sys, time
@@ -45,13 +45,11 @@ spark.stop()
 
 def main() -> int:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
-    sys.path.insert(0, REPO)
-    from flow_feature_spark.session import get_spark
     from flow_feature_spark.synth import synth_transcripts
 
     path = os.path.join(tempfile.mkdtemp(prefix="ffs_sweep_", dir="/dev/shm"),
                         "transcripts")
-    spark = get_spark(app_name="sweep_gen", master="local[32]", shuffle_partitions=64)
+    spark = tool_spark("sweep_gen", cpus=32, shuffle_partitions=64)
     synth_transcripts(spark, n_convs=n_convs, turns_mean=60, hot_factor=100)\
         .write.mode("overwrite").parquet(path)
     spark.stop()
