@@ -1,10 +1,11 @@
 """Similarity search over an embedding column (array<float>).
 
 * ``cosine_topk`` — exact brute-force baseline: query set x corpus, dot
-  products via ``F.zip_with`` + ``F.aggregate`` (JVM-side fold, no Python),
-  row_number top-k with deterministic tiebreak. The cross join broadcasts the
-  (small) query side; corpus side streams — the right baseline shape even at
-  10^9 corpus rows.
+  products via the ``F.zip_with`` + ``F.aggregate`` fold (measured ~2x
+  faster than a fully unrolled expression on Spark 4.1 — see ``_dot``),
+  row_number top-k with deterministic tiebreak. The cross join broadcasts
+  the (small) query side; corpus side streams — the right baseline shape
+  even at 10^9 corpus rows.
 * ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign-LSH) bucket
   keys from md5-derived deterministic hyperplanes; candidates = equi-join on
   bucket key, then exact re-rank. Sub-linear candidate sets at the cost of
@@ -28,7 +29,28 @@ def _r6(c: Column) -> Column:
     return F.floor(c * 1e6 + 0.5) / 1e6
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    MEASURED (1M x 64-dim, 16 queries, Spark 4.1, BENCH/ANN_SCALE.md): the
+    higher-order-function fold is ~2x FASTER than unrolling into dim
+    GetArrayItem+Multiply+Add terms — the HOF walks each primitive float
+    array once, while every unrolled GetArrayItem repeats null/bounds checks
+    and the giant expression tree bloats task binaries (6.5 MB) and compile
+    time. The reverse holds for a LITERAL vector operand (``_dot_lit``).
+    The minhash "HOF is 10x slower" result (BENCH/MINHASH_QUALITY.md) came
+    from per-element xxhash64 calls inside transform, not arithmetic folds —
+    don't generalize it. Both forms sum left-to-right from 0.0 in index
+    order, so the doubles are bit-identical (checksum-verified) and the
+    DuckDB oracle (list_sum over an in-order list_transform) agrees either
+    way. ``dim`` unrolling is kept for plan experiments; production paths
+    pass dim=None.
+    """
+    if dim is not None:
+        t = F.lit(0.0)
+        for j in range(dim):
+            t = t + a.getItem(j).cast("double") * b.getItem(j).cast("double")
+        return t
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -36,7 +58,55 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm2(a: Column) -> Column:
+def _dot_lit(a: Column, consts: list[float]) -> Column:
+    """Dot of an array column with a DRIVER-side constant vector, unrolled:
+    every term is element * literal — pure codegen, no HOF, no array literal
+    per row. MEASURED 2.5-3x faster than the HOF fold against an array
+    literal for the 64-plane LSH key computation at 1M x 64-dim
+    (BENCH/ANN_SCALE.md) — the opposite of the array-x-array case (_dot),
+    because the literal side folds into the generated code."""
+    t = F.lit(0.0)
+    for j, c in enumerate(consts):
+        t = t + a.getItem(j).cast("double") * F.lit(float(c))
+    return t
+
+
+def _dot_lit_sql(vec_sql: str, consts: list[float]) -> str:
+    """SQL text of ``_dot_lit`` (same left-to-right order, same doubles —
+    repr() round-trips and the D suffix makes each literal a double).
+
+    Why text: building the unrolled tree with Column operators costs one
+    py4j round-trip per node — measured 18.5 s of pure DRIVER time to
+    construct the 64-plane near-dup plan. One F.expr parse is milliseconds.
+    """
+    terms = "".join(
+        f" + (CAST({vec_sql}[{j}] AS DOUBLE) * {float(c)!r}D)"
+        for j, c in enumerate(consts)
+    )
+    return "(0.0D" + terms + ")"
+
+
+def lsh_bucket_key_sql(
+    vec_sql: str, dim: int, n_planes: int = N_HYPERPLANES, plane_offset: int = 0
+) -> str:
+    """SQL text of ``lsh_bucket_key`` over the column expression ``vec_sql``
+    — value-identical, built as one string so plan construction stays on the
+    JVM (see _dot_lit_sql)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(vec_sql, _hyperplane(dim, plane_offset + p))}"
+        f" >= 0D THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"CAST(({bits}) AS INT)"
+
+
+def _norm2(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        t = F.lit(0.0)
+        for j in range(dim):
+            x = a.getItem(j).cast("double")
+            t = t + x * x
+        return t
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -44,8 +114,10 @@ def _norm2(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _r6(_dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _r6(
+        _dot(a, b, dim) / (F.sqrt(_norm2(a, dim)) * F.sqrt(_norm2(b, dim)))
+    )
 
 
 def cosine_topk(
@@ -54,6 +126,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of the first ``n_queries`` vectors."""
     from pyspark.sql import Window as W
@@ -66,8 +139,9 @@ def cosine_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
-            "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
-        )
+            "query_id", "cand_id",
+            cosine(F.col("qv"), F.col("cv"), dim).alias("cos_sim"),
+        )  # dim=None default -> HOF fold (measured faster; see _dot)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -98,8 +172,8 @@ def lsh_bucket_key(
     """Sign-LSH bucket id: bit i = (vec . hyperplane_{offset+i}) >= 0."""
     key = F.lit(0)
     for p in range(n_planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
-        key = key + F.when(_dot(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        hp = _hyperplane(dim, plane_offset + p)
+        key = key + F.when(_dot_lit(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return key.cast("int")
 
 
@@ -110,12 +184,60 @@ def lsh_bucket_keys(
 
     L independent tables of r planes each — collision prob per table is
     (1 - theta/pi)^r, union over tables lifts recall the classic way.
+
+    NOTE: at n_tables * planes_per_table * dim beyond ~1000 terms the single
+    array expression exceeds Janino's 64 KB method limit once inlined into a
+    Generate (whole-stage codegen cannot split expressions there), and Spark
+    falls back to interpreted evaluation of the whole stage — measured
+    catastrophic at 64 planes x 64 dims. Use ``lsh_keyed_by_table`` for the
+    production path; this Column form remains for small-parameter uses and
+    the cross-engine oracle.
     """
     entries = []
     for t in range(n_tables):
         k = lsh_bucket_key(vec, dim, planes_per_table, plane_offset=t * planes_per_table)
         entries.append(F.struct(F.lit(t).alias("table_id"), k.alias("key")))
     return F.array(*entries)
+
+
+def lsh_keyed_by_table(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, v, table_id, key) — one row per vector per LSH table.
+
+    Built as a UNION of per-table selects instead of one explode: each branch
+    is its own whole-stage-codegen stage of planes_per_table * dim unrolled
+    terms, safely under the 64 KB generated-method limit, where the single
+    exploded array expression of every table's key is not. Row-for-row and
+    value-for-value identical to exploding ``lsh_bucket_keys`` (same
+    md5-derived planes, same dot order). Downstream data volume is the same
+    L-fold duplication either way; the union pays L column-pruned scans of
+    (id, vec) instead, which columnar sources read cheaply.
+    """
+    branches = []
+    for t in range(n_tables):
+        k = F.expr(
+            lsh_bucket_key_sql(
+                f"`{vec_col}`", dim, planes_per_table, plane_offset=t * planes_per_table
+            )
+        )
+        branches.append(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("v"),
+                F.lit(t).alias("table_id"),
+                k.alias("key"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def lsh_bucket_topk(
@@ -136,11 +258,9 @@ def lsh_bucket_topk(
     """
     from pyspark.sql import Window as W
 
-    keyed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.explode(lsh_bucket_keys(F.col(vec_col), dim, n_tables, planes_per_table)).alias("b"),
-    ).select("vid", "v", F.col("b.table_id").alias("table_id"), F.col("b.key").alias("key"))
+    keyed = lsh_keyed_by_table(
+        emb, dim, n_tables, planes_per_table, id_col=id_col, vec_col=vec_col
+    )
     q = keyed.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), "table_id", "key"
     )
@@ -198,17 +318,17 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
-
-    def dots_arr(v: Column) -> Column:
-        return F.array(
-            *[_dot(v, F.array(*[F.lit(x) for x in anc])) for anc in anchors]
-        )
+    # anchor dots as ONE parsed SQL array: n_anchors x dim unrolled terms
+    # built as text (py4j-free, see _dot_lit_sql), codegen'd JVM-side
+    dots_sql = "array(" + ", ".join(
+        _dot_lit_sql(f"`{vec_col}`", anc) for anc in anchors
+    ) + ")"
 
     # materialize the dot array in its own projection (same CollapseProject
     # rationale as simhash: argmax references it twice)
     based = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        dots_arr(F.col(vec_col)).alias("_dots"),
+        F.expr(dots_sql).alias("_dots"),
     )
     keyed = based.select(
         "vid", "v",
@@ -271,13 +391,9 @@ def embedding_near_dup_pairs(
     otherwise dominate the whole job. The oversized-bucket set is tiny by
     construction -> broadcast anti-join, no extra big shuffle.
     """
-    keyed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.explode(
-            lsh_bucket_keys(F.col(vec_col), dim, n_tables, planes_per_table)
-        ).alias("b"),
-    ).select("vid", "v", F.col("b.table_id").alias("table_id"), F.col("b.key").alias("key"))
+    keyed = lsh_keyed_by_table(
+        emb, dim, n_tables, planes_per_table, id_col=id_col, vec_col=vec_col
+    )
     big = (
         keyed.groupBy("table_id", "key")
         .agg(F.count(F.lit(1)).alias("bsz"))
