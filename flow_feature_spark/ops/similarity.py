@@ -304,55 +304,102 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_anchors: int = 16,
 ) -> DataFrame:
     """ANN top-k via an IVF-style coarse quantizer: every vector is assigned
     to its nearest anchor (cell), queries probe their ``nprobe`` nearest
-    cells, candidates = cell equi-join, exact cosine re-rank.
+    cells, candidates = cell equi-join, exact cosine re-rank. Anchors are
+    unit-norm md5-derived constants, so cell assignment is reproducible in
+    any engine.
 
-    Scale shape: the corpus does K dot products per row once (embarrassingly
-    parallel, no shuffle), candidates come from a co-partitioned equi-join on
-    cell id — the classic inverted-file layout; expected candidate volume is
-    ~nprobe/n_anchors of the corpus per query. Anchors are unit-norm
-    md5-derived constants, so cell assignment is reproducible in any engine.
+    Scale shape, in two regimes:
+
+    * ``n_anchors <= chunk_anchors``: all anchor dots in one projected array
+      — K x dim unrolled terms, embarrassingly parallel, no extra shuffle.
+      This is the driver-oracled path (ivf_topk_sql mirrors it literally).
+    * larger K: a single K x dim expression exceeds Janino's 64 KB method
+      limit (measured: 64 anchors x 64 dims fell off codegen and OOMed a
+      48 GB heap in interpreted fallback at 10^6 rows). The argmax is
+      instead computed as chunks of ``chunk_anchors`` anchors — each chunk a
+      compilable ``greatest(struct(dot, -cell))`` — unioned and max-reduced
+      per vector (map-side partial max, skew-free vid keys), then joined
+      back to the vectors. Two extra skinny shuffles, every generated method
+      bounded; identical values and tie-breaks (highest dot, then smallest
+      cell = first-occurrence array_position semantics).
+
+    Query probe cells are computed on the DRIVER from the collected query
+    vectors — n_queries is small by API contract (it is the broadcast side),
+    and Python float arithmetic in the same left-to-right order produces the
+    identical IEEE doubles, so probe sets match the in-engine form exactly.
     """
     from pyspark.sql import Window as W
 
     anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
-    # anchor dots as ONE parsed SQL array: n_anchors x dim unrolled terms
-    # built as text (py4j-free, see _dot_lit_sql), codegen'd JVM-side
-    dots_sql = "array(" + ", ".join(
-        _dot_lit_sql(f"`{vec_col}`", anc) for anc in anchors
-    ) + ")"
 
-    # materialize the dot array in its own projection (same CollapseProject
-    # rationale as simhash: argmax references it twice)
-    based = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        F.expr(dots_sql).alias("_dots"),
+    # -- query probes: driver-side top-nprobe cells per query --------------
+    spark = emb.sparkSession
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    keyed = based.select(
-        "vid", "v",
-        F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
-        .cast("int").alias("cell"),
+    probe_rows = []
+    for row in qrows:
+        qv = [float(x) for x in row["qv"]]
+        scored_cells = []
+        for a, anc in enumerate(anchors):
+            d = 0.0
+            for x, c in zip(qv, anc):
+                d = d + x * c
+            scored_cells.append((-d, a + 1))
+        scored_cells.sort()
+        for _, cell in scored_cells[:nprobe]:
+            probe_rows.append((row["query_id"], row["qv"], cell))
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qv array<float>, cell int"
     )
-    qd = based.filter(F.col("vid") < n_queries)
-    cand_cells = F.array(
-        *[
-            F.struct(
-                (-F.element_at(F.col("_dots"), a + 1)).alias("nd"),
-                F.lit(a + 1).alias("cell"),
+
+    # -- corpus cell assignment --------------------------------------------
+    if n_anchors <= chunk_anchors:
+        dots_sql = "array(" + ", ".join(
+            _dot_lit_sql(f"`{vec_col}`", anc) for anc in anchors
+        ) + ")"
+        # materialize the dot array in its own projection (CollapseProject
+        # keeps multi-referenced non-cheap arrays shared, as for simhash)
+        based = emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+            F.expr(dots_sql).alias("_dots"),
+        )
+        keyed = based.select(
+            "vid", "v",
+            F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
+            .cast("int").alias("cell"),
+        )
+    else:
+        chunks = []
+        for lo in range(0, n_anchors, chunk_anchors):
+            structs = ", ".join(
+                f"named_struct('d', {_dot_lit_sql(f'`{vec_col}`', anc)},"
+                f" 'negcell', {-(lo + i + 1)})"
+                for i, anc in enumerate(anchors[lo:lo + chunk_anchors])
             )
-            for a in range(n_anchors)
-        ]
-    )
-    probes = qd.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(cand_cells), 1, nprobe), lambda s: s["cell"]
+            best = structs if lo + 1 == min(lo + chunk_anchors, n_anchors) \
+                else f"greatest({structs})"
+            chunks.append(
+                emb.select(
+                    F.col(id_col).alias("vid"), F.expr(best).alias("best")
+                )
             )
-        ).alias("cell"),
-    )
+        allc = chunks[0]
+        for c in chunks[1:]:
+            allc = allc.unionByName(c)
+        assign = allc.groupBy("vid").agg(
+            (-F.max("best")["negcell"]).cast("int").alias("cell")
+        )
+        keyed = emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        ).join(assign, "vid")
+
     cand = (
         keyed.join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))

@@ -342,3 +342,26 @@ def test_minhash_fast_mutation_lowers_collisions(spark):
     match_heavy = sum(a == b for a, b in zip(r[0], r[2]))
     assert match_light > match_heavy
     assert match_light >= 40  # J ~ 0.95 -> most positions agree
+
+
+def test_lsh_keyed_by_table_matches_exploded_column_form(spark, embs):
+    """The production union-of-branches key frame (lsh_keyed_by_table, SQL-
+    text expressions) must be row-identical to exploding the Column-built
+    lsh_bucket_keys — same planes, same dot order, same signs. Guards the
+    codegen-shape rewrite (each union branch stays under Janino's 64 KB
+    method limit where the single exploded array expression does not)."""
+    from pyspark.sql import functions as F
+
+    union_form = sim.lsh_keyed_by_table(embs, 64, n_tables=4, planes_per_table=8)
+    explode_form = (
+        embs.select(
+            F.col("vec_id").alias("vid"),
+            F.explode(
+                sim.lsh_bucket_keys(F.col("embedding"), 64, 4, 8)
+            ).alias("b"),
+        ).select("vid", F.col("b.table_id").alias("table_id"), F.col("b.key").alias("key"))
+    )
+    a = union_form.select("vid", "table_id", "key")
+    assert a.exceptAll(explode_form).count() == 0
+    assert explode_form.exceptAll(a).count() == 0
+    assert a.count() == embs.count() * 4
