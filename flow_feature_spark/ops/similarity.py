@@ -252,17 +252,40 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share any LSH table bucket, exact re-rank.
 
-    Scale shape: the exploded (table_id, key) join is an equi-join — each
-    bucket is a co-partitioned cell, never a cross join; the query side is
-    tiny and broadcast.
+    Scale shape: the (table_id, key) join is an equi-join — each bucket is a
+    co-partitioned cell, never a cross join; the query side is tiny and
+    broadcast. Query bucket keys are computed on the DRIVER from the
+    collected query vectors (n_queries is small by API contract): keying the
+    filtered frame in-engine would compile a second full set of per-table
+    plane-dot methods just to key a handful of rows — the generated-code
+    fixed cost, not the data, dominates there. Python float64 arithmetic in
+    the same left-to-right order reproduces the identical IEEE doubles and
+    therefore identical sign bits (the cross-engine hash gate pins this).
     """
     from pyspark.sql import Window as W
 
     keyed = lsh_keyed_by_table(
         emb, dim, n_tables, planes_per_table, id_col=id_col, vec_col=vec_col
     )
-    q = keyed.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "table_id", "key"
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    probe_rows = []
+    for row in qrows:
+        qv = [float(x) for x in row["qv"]]
+        for t in range(n_tables):
+            key = 0
+            for p in range(planes_per_table):
+                d = 0.0
+                for x, c in zip(qv, _hyperplane(dim, t * planes_per_table + p)):
+                    d = d + x * c
+                if d >= 0:
+                    key += 1 << p
+            probe_rows.append((row["query_id"], row["qv"], t, key))
+    q = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, table_id int, key int"
     )
     cand = (
         keyed.join(F.broadcast(q), ["table_id", "key"])

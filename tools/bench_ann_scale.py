@@ -100,16 +100,25 @@ def build_corpus(spark, n_vectors: int, n_pairs: int, path: str) -> float:
     return time.time() - t0
 
 
-def recall_at_k(exact_rows, approx_rows, k: int) -> float:
-    """Mean over queries of |exact top-k ∩ approx top-k| / k."""
+def recall_at_k(exact_rows, approx_rows, k: int) -> tuple[float, float]:
+    """(recall@k, strong recall): overall = mean over queries of
+    |exact top-k ∩ approx top-k| / k; strong restricts the truth set to
+    exact neighbors with cos >= 0.7 (the planted structure) — the tail of
+    exact top-k is near-random background (best of 10^6 random 64-dim
+    cosines ~0.6) that no locality-sensitive bucket SHOULD retrieve."""
     from collections import defaultdict
 
-    ex, ap = defaultdict(set), defaultdict(set)
+    ex, st, ap = defaultdict(set), defaultdict(set), defaultdict(set)
     for r in exact_rows:
         ex[r["query_id"]].add(r["cand_id"])
+        if r["cos_sim"] >= 0.7:
+            st[r["query_id"]].add(r["cand_id"])
     for r in approx_rows:
         ap[r["query_id"]].add(r["cand_id"])
-    return sum(len(ex[q] & ap[q]) for q in ex) / (len(ex) * k)
+    overall = sum(len(ex[q] & ap[q]) for q in ex) / (len(ex) * k)
+    n_strong = sum(len(s) for s in st.values())
+    strong = sum(len(st[q] & ap[q]) for q in st) / max(n_strong, 1)
+    return round(overall, 3), round(strong, 3)
 
 
 def main() -> int:
@@ -149,13 +158,14 @@ def main() -> int:
             n_tables=L, planes_per_table=r,
         ).collect()
         wall = round(time.time() - t0, 1)
-        rec = round(recall_at_k(exact, approx, K), 3)
+        rec, rec_strong = recall_at_k(exact, approx, K)
         keyed = sim.lsh_keyed_by_table(emb, DIM, L, r)
         mx_bucket = (
             keyed.groupBy("table_id", "key").count().agg(F.max("count")).collect()[0][0]
         )
         out[f"lsh_L{L}_r{r}"] = {
-            "wall_s": wall, "recall_at_k": rec, "max_bucket": int(mx_bucket),
+            "wall_s": wall, "recall_at_k": rec, "recall_strong": rec_strong,
+            "max_bucket": int(mx_bucket),
         }
         print("lsh", L, r, out[f"lsh_L{L}_r{r}"])
 
@@ -167,8 +177,10 @@ def main() -> int:
             n_anchors=n_anchors, nprobe=nprobe,
         ).collect()
         wall = round(time.time() - t0, 1)
-        rec = round(recall_at_k(exact, approx, K), 3)
-        out[f"ivf_a{n_anchors}_p{nprobe}"] = {"wall_s": wall, "recall_at_k": rec}
+        rec, rec_strong = recall_at_k(exact, approx, K)
+        out[f"ivf_a{n_anchors}_p{nprobe}"] = {
+            "wall_s": wall, "recall_at_k": rec, "recall_strong": rec_strong,
+        }
         print("ivf", n_anchors, nprobe, out[f"ivf_a{n_anchors}_p{nprobe}"])
 
     # -- near-dup pairs at threshold 0.9 -----------------------------------
@@ -227,14 +239,18 @@ in {out['gen_s']}s, all Spark expressions, deterministic.
 | operator | params | wall | quality | skew surface |
 |---|---|---|---|---|
 | cosine_topk (exact) | 32 queries x {n_vectors:,} | {out['exact_s']}s ({out['exact_cos_per_s']:,} cos/s) | ground truth | broadcast queries, no shuffle |
-| lsh_bucket_topk | L=8, r=10 | {l10['wall_s']}s | recall@{K} {l10['recall_at_k']} | max bucket {l10['max_bucket']:,} |
-| lsh_bucket_topk | L=8, r=12 | {l12['wall_s']}s | recall@{K} {l12['recall_at_k']} | max bucket {l12['max_bucket']:,} |
-| ivf_topk | K=64 anchors, nprobe=8 | {ivf['wall_s']}s | recall@{K} {ivf['recall_at_k']} | cell equi-join |
+| lsh_bucket_topk | L=8, r=10 | {l10['wall_s']}s | recall@{K} {l10['recall_at_k']} / strong {l10['recall_strong']} | max bucket {l10['max_bucket']:,} |
+| lsh_bucket_topk | L=8, r=12 | {l12['wall_s']}s | recall@{K} {l12['recall_at_k']} / strong {l12['recall_strong']} | max bucket {l12['max_bucket']:,} |
+| ivf_topk | K=64 anchors, nprobe=8 | {ivf['wall_s']}s | recall@{K} {ivf['recall_at_k']} / strong {ivf['recall_strong']} | cell equi-join |
 | embedding_near_dup_pairs | t=0.9, L=4, r=16 | {nd9['wall_s']}s | recall {nd9['recall']} ({nd9['found_pairs']:,} found / {nd9['true_pairs']:,} true, +{nd9['beyond_construction']} beyond construction) | max band bucket {nd9['max_band_bucket']:,}; max task rows {nd9['max_task_rows']:,}/{nd9['n_tasks']} tasks |
 
 Exact top-{K} includes ~3 background neighbors per query (max of 10^6 random
-64-dim cosines ~0.6) — the LSH/IVF misses concentrate there, which is the
-honest recall@k for this corpus, not a defect.
+64-dim cosines ~0.6) — overall recall@k counts those; "strong" recall
+restricts truth to planted neighbors (cos >= 0.7), the set a
+locality-sensitive index is built to retrieve. Low-cos planted members
+(rank-7 members at cos ~0.73: per-table collision p ~0.065 at r=10, union
+~0.42 over L=8) bound the strong number — the measured sign-LSH S-curve,
+not an implementation defect.
 """
     append_bench("ANN_SCALE.md", md, title="ANN at scale (million-embedding evidence)")
 
