@@ -249,6 +249,7 @@ def lsh_bucket_topk(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe_flips: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates share any LSH table bucket, exact re-rank.
 
@@ -258,9 +259,19 @@ def lsh_bucket_topk(
     collected query vectors (n_queries is small by API contract): keying the
     filtered frame in-engine would compile a second full set of per-table
     plane-dot methods just to key a handful of rows — the generated-code
-    fixed cost, not the data, dominates there. Python float64 arithmetic in
-    the same left-to-right order reproduces the identical IEEE doubles and
+    fixed cost, not the data, dominates there (measured 191.6s -> 99.9s at
+    10^6 vectors, BENCH/ANN_SCALE.md). Python float64 arithmetic in the
+    same left-to-right order reproduces the identical IEEE doubles and
     therefore identical sign bits (the cross-engine hash gate pins this).
+
+    ``multiprobe_flips``: classic multiprobe LSH — per table, additionally
+    probe the buckets reached by flipping each of the ``multiprobe_flips``
+    sign bits with the smallest |dot| margin (a near-zero plane dot means
+    a true neighbor plausibly landed on the other side). Probes per query
+    grow from L to L * (1 + flips); recall rises without more tables, the
+    corpus side is untouched, and extra probes are only extra rows on the
+    broadcast side. flips=0 (default, the driver-oracled form) is the plain
+    one-bucket-per-table probe.
     """
     from pyspark.sql import Window as W
 
@@ -276,14 +287,20 @@ def lsh_bucket_topk(
     for row in qrows:
         qv = [float(x) for x in row["qv"]]
         for t in range(n_tables):
-            key = 0
+            key, margins = 0, []
             for p in range(planes_per_table):
                 d = 0.0
                 for x, c in zip(qv, _hyperplane(dim, t * planes_per_table + p)):
                     d = d + x * c
                 if d >= 0:
                     key += 1 << p
-            probe_rows.append((row["query_id"], row["qv"], t, key))
+                margins.append((abs(d), p))
+            keys = {key}
+            margins.sort()
+            for _, p in margins[:multiprobe_flips]:
+                keys.add(key ^ (1 << p))
+            for kk in sorted(keys):
+                probe_rows.append((row["query_id"], row["qv"], t, kk))
     q = emb.sparkSession.createDataFrame(
         probe_rows, "query_id long, qv array<float>, table_id int, key int"
     )

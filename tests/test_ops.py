@@ -365,3 +365,20 @@ def test_lsh_keyed_by_table_matches_exploded_column_form(spark, embs):
     assert a.exceptAll(explode_form).count() == 0
     assert explode_form.exceptAll(a).count() == 0
     assert a.count() == embs.count() * 4
+
+
+def test_lsh_multiprobe_recall_not_worse(spark, embs):
+    """Multiprobe (flipping the lowest-|margin| sign bits) may only ADD
+    probe buckets per table, so the candidate set is a superset and recall
+    against exact top-k must not drop; flips=0 stays the oracled default."""
+    exact = {(r["query_id"], r["cand_id"])
+             for r in sim.cosine_topk(embs, n_queries=8, k=5).collect()}
+
+    def rec(flips):
+        got = {(r["query_id"], r["cand_id"])
+               for r in sim.lsh_bucket_topk(
+                   embs, dim=64, n_queries=8, k=5,
+                   multiprobe_flips=flips).collect()}
+        return len(exact & got) / len(exact)
+
+    assert rec(3) >= rec(0)

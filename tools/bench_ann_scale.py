@@ -150,24 +150,26 @@ def main() -> int:
     out["exact_s"] = round(time.time() - t0, 1)
     out["exact_cos_per_s"] = round(N_QUERY_GROUPS * n_vectors / out["exact_s"])
 
-    # -- LSH top-k at two parameter points ---------------------------------
-    for L, r in ((8, 10), (8, 12)):
+    # -- LSH top-k: two parameter points + a multiprobe point --------------
+    for L, r, flips in ((8, 10, 0), (8, 12, 0), (8, 10, 4)):
         t0 = time.time()
         approx = sim.lsh_bucket_topk(
             emb, dim=DIM, n_queries=N_QUERY_GROUPS, k=K,
-            n_tables=L, planes_per_table=r,
+            n_tables=L, planes_per_table=r, multiprobe_flips=flips,
         ).collect()
         wall = round(time.time() - t0, 1)
         rec, rec_strong = recall_at_k(exact, approx, K)
-        keyed = sim.lsh_keyed_by_table(emb, DIM, L, r)
-        mx_bucket = (
-            keyed.groupBy("table_id", "key").count().agg(F.max("count")).collect()[0][0]
-        )
-        out[f"lsh_L{L}_r{r}"] = {
+        tag = f"lsh_L{L}_r{r}" + (f"_mp{flips}" if flips else "")
+        out[tag] = {
             "wall_s": wall, "recall_at_k": rec, "recall_strong": rec_strong,
-            "max_bucket": int(mx_bucket),
         }
-        print("lsh", L, r, out[f"lsh_L{L}_r{r}"])
+        if not flips:
+            keyed = sim.lsh_keyed_by_table(emb, DIM, L, r)
+            out[tag]["max_bucket"] = int(
+                keyed.groupBy("table_id", "key").count()
+                .agg(F.max("count")).collect()[0][0]
+            )
+        print("lsh", L, r, flips, out[tag])
 
     # -- IVF top-k ---------------------------------------------------------
     for n_anchors, nprobe in ((64, 8),):
@@ -228,6 +230,7 @@ def main() -> int:
 
     nd9 = out["near_dup"]
     l10, l12 = out["lsh_L8_r10"], out["lsh_L8_r12"]
+    lmp = out["lsh_L8_r10_mp4"]
     ivf = out["ivf_a64_p8"]
     md = f"""
 ## {n_vectors:,} x {DIM}-dim chain @ local[32] — {utc_stamp()}
@@ -241,6 +244,7 @@ in {out['gen_s']}s, all Spark expressions, deterministic.
 | cosine_topk (exact) | 32 queries x {n_vectors:,} | {out['exact_s']}s ({out['exact_cos_per_s']:,} cos/s) | ground truth | broadcast queries, no shuffle |
 | lsh_bucket_topk | L=8, r=10 | {l10['wall_s']}s | recall@{K} {l10['recall_at_k']} / strong {l10['recall_strong']} | max bucket {l10['max_bucket']:,} |
 | lsh_bucket_topk | L=8, r=12 | {l12['wall_s']}s | recall@{K} {l12['recall_at_k']} / strong {l12['recall_strong']} | max bucket {l12['max_bucket']:,} |
+| lsh_bucket_topk | L=8, r=10, multiprobe 4 flips | {lmp['wall_s']}s | recall@{K} {lmp['recall_at_k']} / strong {lmp['recall_strong']} | 5x probes, corpus side untouched |
 | ivf_topk | K=64 anchors, nprobe=8 | {ivf['wall_s']}s | recall@{K} {ivf['recall_at_k']} / strong {ivf['recall_strong']} | cell equi-join |
 | embedding_near_dup_pairs | t=0.9, L=4, r=16 | {nd9['wall_s']}s | recall {nd9['recall']} ({nd9['found_pairs']:,} found / {nd9['true_pairs']:,} true, +{nd9['beyond_construction']} beyond construction) | max band bucket {nd9['max_band_bucket']:,}; max task rows {nd9['max_task_rows']:,}/{nd9['n_tasks']} tasks |
 
