@@ -304,6 +304,20 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, list(OQ.FUNNEL_STEPS), max_step_gap_seconds=86400.0)
 
 
+
+def q_funnel_reanchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-anchoring (any-anchor) funnel with a 1-day conversion window —
+    per step, ONE probe/event union + forward window min (the
+    asof_union_window formulation applied per funnel step); counts the
+    re-entry conversions the greedy funnel excludes by design.
+    analytics.funnel_reanchored vs the identically-shaped DuckDB SQL."""
+    from flow_feature_spark.analytics import funnel_reanchored
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_reanchored(
+        ev, list(OQ.FUNNEL_STEPS), conversion_window_seconds=86400.0
+    )
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-day cohort x day-offset distinct-user retention grid
     (analytics.cohort_retention); cohort day emitted as timestamp for
@@ -764,7 +778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union_window_sql": _sql(OQ.asof_sql),
         # engine-API implementations against independent oracles
         "session_features_kernel": q_feature_vector_kernel,
-        "session_features_fast": q_feature_vector_fast,
         "session_features_salted": q_session_features_salted,
         "dedup_turns": q_dedup_turns,
         "asof_fast": q_asof_fast,
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "time_rollup": q_time_rollup,
         "funnel_steps": q_funnel_steps,
+        "funnel_reanchored": q_funnel_reanchored,
         "cohort_retention": q_cohort_retention,
         "transition_matrix": q_transition_matrix,
         "histogram_drift": q_histogram_drift,
@@ -801,8 +815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         # --- entries below are OUTSIDE the driver's 50-entry window this
         # round: each is r3/r4-green and oracle-shares with a sibling above
-        # (sessionize_counts, asof_fast/asof_union_window_sql, time_rollup,
+        # (session_features_sql/kernel, sessionize_counts, asof_fast/
+        # asof_union_window_sql, time_rollup,
         # minhash_lsh_pairs, simhash_pairs, whole_table_flow cover them)
+        "session_features_fast": q_feature_vector_fast,
         "sessionize_bucketed": q_sessionize_bucketed,
         "asof_merge": q_asof_merge,
         "asof_tolerance": q_asof_tolerance,
@@ -842,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": OQ.time_rollup_sql(d),
         "time_cube": OQ.time_cube_sql(d),
         "funnel_steps": OQ.funnel_sql(d, max_gap_us=86_400_000_000),
+        "funnel_reanchored": OQ.funnel_reanchored_sql(
+            d, win_us=86_400_000_000
+        ),
         "cohort_retention": OQ.cohort_retention_sql(d),
         "transition_matrix": OQ.transition_counts_sql(d),
         "hopping_window": OQ.hopping_window_sql(d),

@@ -52,8 +52,9 @@ def funnel_counts(
     expires, a second view converts) is NOT counted, an undercount relative
     to re-anchoring funnel definitions some product-analytics tools use.
     This single-anchor form is what one window-min chain per step can
-    express in one exchange; a re-anchoring variant needs a per-user
-    sequential scan (sessionize-then-funnel). Engine and SQL oracle agree
+    express in one exchange; ``funnel_reanchored`` below is the
+    any-anchor variant (conversion-window semantics, k−1 forward-as-of
+    passes) that counts those re-entries. Engine and SQL oracle agree
     exactly (test_funnel_uses_earliest_qualifying_not_any pins this)."""
     if not steps:
         raise ValueError("funnel_counts requires at least one step")
@@ -94,6 +95,12 @@ def funnel_counts(
             for i in range(len(steps))
         ]
     )
+    return _funnel_output(counts, steps)
+
+
+def _funnel_output(counts: DataFrame, steps: list[str]) -> DataFrame:
+    """Explode a single-row (n0..n{k-1}) frame into the funnel output shape
+    (step_idx, step, n_users, conv_rate); conv_rate r6-rounded."""
     rows = []
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     for i, step in enumerate(steps):
@@ -116,6 +123,108 @@ def funnel_counts(
     return counts.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.step_idx", "r.step", "r.n_users", "r.conv_rate"
     )
+
+
+def funnel_reanchored(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    conversion_window_seconds: float | None = 86400.0,
+) -> DataFrame:
+    """Re-anchoring (any-anchor) funnel: same output shape as
+    ``funnel_counts``, but a user reaches step i if a chain of
+    strictly-increasing step events completes from ANY of their step-0
+    events within ``conversion_window_seconds`` of that anchor — the
+    re-entry case ``funnel_counts`` undercounts (first view's window
+    expires, a second view converts) is counted here.
+
+    Exactness: with a common per-anchor deadline the earliest-next-event
+    (greedy) chain dominates — if any chain from an anchor completes, the
+    greedy one does (induction: greedy t_i <= any valid x_i, and the
+    deadline is shared). So evaluating only the greedy chain per anchor is
+    exact. NOTE this dominance does NOT hold for per-step gaps (a later,
+    slower step-2 extends step-3's gap budget), which is why this variant
+    uses a conversion window and ``funnel_counts`` keeps per-step gaps.
+
+    Shape: k-1 forward-as-of passes, each ONE union + window min
+    (PARTITION BY user ORDER BY ts, probe-after-event tie order, frame
+    [current, unbounded following]) — the asof_union_window formulation
+    (asof.py) applied per funnel step. Each pass shuffles (surviving
+    anchors + step-i events); frames shrink monotonically as anchors die.
+    Skew surface: a hot user's anchors and events share one partition,
+    the same surface as ``funnel_counts`` (BENCH/SEQUENCE_SCALE.md)."""
+    if not steps:
+        raise ValueError("funnel_reanchored requires at least one step")
+    win_us = (
+        int(round(conversion_window_seconds * 1_000_000))
+        if conversion_window_seconds is not None
+        else None
+    )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("__user"),
+        F.col(type_col).alias("__type"),
+        ts_us.alias("__ts_us"),
+    )
+    # survivors_i: one row per still-alive anchor (user, anchor ts, chain ts)
+    survivors = ev.filter(F.col("__type") == F.lit(steps[0])).select(
+        "__user",
+        F.col("__ts_us").alias("__a"),
+        F.col("__ts_us").alias("__cur"),
+    )
+    reach = [survivors.select("__user", F.lit(0).alias("__step"))]
+    w = (
+        Window.partitionBy("__user")
+        .orderBy("__ord", "__tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        probes = survivors.select(
+            "__user",
+            F.col("__cur").alias("__ord"),
+            "__a",
+            F.lit(None).cast("long").alias("__ev"),
+            F.lit(1).alias("__tag"),
+        )
+        step_ev = ev.filter(F.col("__type") == F.lit(step)).select(
+            "__user",
+            F.col("__ts_us").alias("__ord"),
+            F.lit(None).cast("long").alias("__a"),
+            F.col("__ts_us").alias("__ev"),
+            F.lit(0).alias("__tag"),
+        )
+        # events at the probe's exact ts sort BEFORE it (__tag 0 < 1), so the
+        # forward frame sees only strictly-later step events
+        nxt = F.min("__ev").over(w)
+        chained = (
+            probes.unionByName(step_ev)
+            .withColumn("__nxt", nxt)
+            .filter((F.col("__tag") == 1) & F.col("__nxt").isNotNull())
+        )
+        if win_us is not None:
+            chained = chained.filter(
+                F.col("__nxt") <= F.col("__a") + F.lit(win_us)
+            )
+        survivors = chained.select(
+            "__user", "__a", F.col("__nxt").alias("__cur")
+        )
+        reach.append(survivors.select("__user", F.lit(i).alias("__step")))
+    u = reach[0]
+    for r in reach[1:]:
+        u = u.unionByName(r)
+    counts = u.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("__step") == F.lit(i), F.col("__user"))
+            )
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    return _funnel_output(counts, steps)
 
 
 def cohort_retention(

@@ -1162,6 +1162,50 @@ def funnel_sql(dialect: str, steps: tuple[str, ...] = FUNNEL_STEPS,
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def funnel_reanchored_sql(dialect: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                          win_us: int | None = 86_400_000_000) -> str:
+    """Any-anchor funnel oracle (mirrors analytics.funnel_reanchored): per
+    step, a probe/event UNION + forward window min (ORDER BY ts with events
+    before probes on ties -> strictly-after), anchors surviving while the
+    greedy chain stays within the per-anchor conversion window. The same
+    formulation the engine runs, in portable SQL."""
+    ctes = [f"ev AS (SELECT user_id AS u, event_type AS et, "
+            f"{_epoch_us(dialect)} AS ts_us FROM events)",
+            f"s0 AS (SELECT u, ts_us AS a, ts_us AS cur FROM ev "
+            f"WHERE et = '{steps[0]}')"]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"u{i} AS (SELECT u, cur AS ord_ts, a, CAST(NULL AS BIGINT) "
+            f"AS ev, 1 AS tag FROM s{i-1} UNION ALL "
+            f"SELECT u, ts_us, CAST(NULL AS BIGINT), ts_us, 0 FROM ev "
+            f"WHERE et = '{step}')"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT u, a, tag, min(ev) OVER (PARTITION BY u "
+            f"ORDER BY ord_ts, tag ROWS BETWEEN CURRENT ROW AND UNBOUNDED "
+            f"FOLLOWING) AS nxt FROM u{i})"
+        )
+        dl = f" AND nxt <= a + {win_us}" if win_us is not None else ""
+        ctes.append(
+            f"s{i} AS (SELECT u, a, nxt AS cur FROM w{i} "
+            f"WHERE tag = 1 AND nxt IS NOT NULL{dl})"
+        )
+    ncols = ", ".join(
+        f"(SELECT cast(count(DISTINCT u) AS bigint) FROM s{i}) AS n{i}"
+        for i in range(len(steps))
+    )
+    ctes.append(f"c AS (SELECT {ncols})")
+    selects = []
+    for i, step in enumerate(steps):
+        rate = ("cast(1.0 AS double)" if i == 0 else
+                r6(f"cast(n{i} AS double)/cast(greatest(n{i-1}, 1) AS double)"))
+        selects.append(
+            f"SELECT cast({i} AS int) AS step_idx, '{step}' AS step, "
+            f"n{i} AS n_users, cast({rate} AS double) AS conv_rate FROM c"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def cohort_retention_sql(dialect: str) -> str:
     """Cohort retention oracle (mirrors analytics.cohort_retention);
     cohort_day emitted as timestamp for cross-engine hash stability."""

@@ -18,10 +18,22 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # Master resolution order: explicit arg > SPARK_GRAFT_MASTER env >
+    # spark-submit-provided master > local default. Under spark-submit the
+    # gateway JVM already carries the submit-time master (Python-side
+    # SparkConf() does NOT expose it pre-context), so when launched that way
+    # (PYSPARK_GATEWAY_PORT set) we must NOT call builder.master() at all —
+    # it would override --master and a `spark-submit --master yarn job.py`
+    # deploy would silently run local[32].
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # local[N] -> N cores; scale shuffle partitions with parallelism, not the
     # 200 default (wrong at both ends; AQE coalesces the excess anyway).
-    if shuffle_partitions is None:
+    # When the master is submit-provided we don't know the width yet —
+    # derive from defaultParallelism after the session exists instead.
+    if shuffle_partitions is None and master is not None:
         if master.startswith("local["):
             inner = master[len("local["):-1]
             cores = os.cpu_count() or 8 if inner == "*" else int(inner)
@@ -29,9 +41,7 @@ def get_spark(
             cores = 32
         shuffle_partitions = max(8, cores)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,6 +61,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     # Shuffle/spill to tmpfs when available: the sandbox's virtio disk has
     # high, variable latency; a real cluster would use local NVMe.
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
@@ -62,5 +78,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # submit-provided master: width known only now
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -5,7 +5,7 @@ hash-exactness separately via funnel_steps / cohort_retention)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -297,3 +297,83 @@ def test_cohort_retention_approx_twin(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])
+
+
+def test_funnel_reanchored_counts_reentry(spark):
+    """The re-entry case funnel_counts undercounts by design: u1's first
+    view's window expires but a second view converts. funnel_reanchored
+    counts it; greedy does not. Ties (u5's click at the view's exact ts)
+    stay strictly-after on both."""
+    from flow_feature_spark.analytics import funnel_counts, funnel_reanchored
+
+    rows = [
+        ("u1", "view", 0), ("u1", "view", 150), ("u1", "click", 200),
+        ("u1", "purchase", 240),
+        ("u2", "view", 0), ("u2", "click", 10), ("u2", "purchase", 20),
+        ("u3", "view", 5),
+        ("u4", "click", 1), ("u4", "purchase", 2), ("u4", "view", 3),
+        ("u5", "view", 50), ("u5", "click", 50), ("u5", "click", 60),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, datetime(2024, 1, 1) + timedelta(seconds=s))
+         for u, t, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    steps = ["view", "click", "purchase"]
+    re = {r["step"]: r["n_users"]
+          for r in funnel_reanchored(ev, steps,
+                                     conversion_window_seconds=100.0).collect()}
+    greedy = {r["step"]: r["n_users"]
+              for r in funnel_counts(ev, steps,
+                                     max_step_gap_seconds=100.0).collect()}
+    assert re == {"view": 5, "click": 3, "purchase": 2}
+    assert greedy == {"view": 5, "click": 2, "purchase": 1}
+
+
+def test_funnel_reanchored_randomized_any_chain_oracle(spark):
+    """Randomized corpus vs a TRUE any-chain brute force (DFS over every
+    strictly-increasing chain within the per-anchor window) — validates the
+    greedy-dominance argument the engine relies on, not just the greedy
+    implementation against itself."""
+    import random
+    from collections import defaultdict
+
+    from flow_feature_spark.analytics import funnel_reanchored
+
+    rng = random.Random(20260818)
+    steps, W = ["view", "click", "purchase"], 3600.0 * 6
+    types = steps + ["error"]
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(100):
+        for _ in range(rng.randint(0, 30)):
+            rows.append((
+                f"u{u}",
+                rng.choice(types),
+                base + timedelta(minutes=rng.randint(0, 60 * 24 * 5)),
+            ))
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+
+    by_user = defaultdict(lambda: defaultdict(list))
+    for u, t, ts in rows:
+        by_user[u][t].append(ts)
+    reach = [0] * len(steps)
+    for u, ebt in by_user.items():
+        def depth(si, t, deadline):
+            best = si
+            if si + 1 < len(steps):
+                for ts in ebt[steps[si + 1]]:
+                    if t < ts <= deadline:
+                        best = max(best, depth(si + 1, ts, deadline))
+            return best
+        best = -1
+        for a in ebt[steps[0]]:
+            best = max(best, depth(0, a, a + timedelta(seconds=W)))
+        for i in range(best + 1):
+            reach[i] += 1
+    got = {r["step_idx"]: r["n_users"]
+           for r in funnel_reanchored(ev, steps,
+                                      conversion_window_seconds=W).collect()}
+    assert got == {i: reach[i] for i in range(len(steps))}
+    assert reach[1] > 0 and reach[2] > 0  # corpus actually exercises chains
