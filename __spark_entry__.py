@@ -161,6 +161,83 @@ def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's ONLINE twin as a driver query: the streaming as-of join
+    (streaming.stream_asof_attach — applyInPandasWithState, since Spark has
+    no native stream-stream as-of) replaying the same session-feature
+    payload and probes must equal the batch union-window oracle bit-for-bit.
+    Bounded replay: features and probes land in micro-batch 0 through two
+    separate file sources; two far-future advancer FEATURES then push the
+    watermark past every probe so EventTimeTimeout flushes all pending
+    answers. Same staged-batch mechanics as q_stream_features."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from flow_feature_spark.streaming import stream_asof_attach
+
+    _prep(spark)
+    feats = _session_feature_payload(spark, sf_dir)
+    probes = _probes(spark, sf_dir).select(
+        "entity_id", F.col("probe_ts").cast("timestamp").alias("probe_ts")
+    )
+    max_us = probes.agg(F.max(F.unix_micros("probe_ts"))).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="ffs_stream_asof_")
+    fdir, pdir = f"{root}/f", f"{root}/p"
+
+    def _stage(base: str, i: int, df: DataFrame) -> None:
+        sub = f"{base}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = _time.time() + i * 10
+        for r, _, files in os.walk(sub):
+            for fn in files:
+                os.utime(os.path.join(r, fn), (stamp, stamp))
+
+    _stage(fdir, 0, feats)
+    for j, off in enumerate((86_400_000_000, 2 * 86_400_000_000)):
+        _stage(
+            fdir,
+            j + 1,
+            feats.limit(1).select(
+                F.lit("zz_advancer").alias("conv_id"),
+                F.timestamp_micros(F.lit(max_us + off)).alias("feature_ts"),
+                F.lit(-1).cast("long").alias("session_id"),
+                F.lit(0).cast("long").alias("n_turns"),
+                F.lit(0.0).alias("duration"),
+                F.lit(0).cast("long").alias("dpl_total_i"),
+            ),
+        )
+    _stage(pdir, 0, probes)
+
+    def _src(base: str) -> DataFrame:
+        return (
+            spark.readStream.schema(spark.read.parquet(f"{base}/batch0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/batch*")
+        )
+
+    name = f"stream_asof_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_asof_attach(
+            _src(fdir), _src(pdir), strict=True, watermark="0 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(name).select(
+        "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
+    )
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + max-staleness: tolerance_seconds nulls matches older than 6 h."""
     feats = _session_feature_payload(spark, sf_dir)
@@ -780,7 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features_kernel": q_feature_vector_kernel,
         "session_features_salted": q_session_features_salted,
         "dedup_turns": q_dedup_turns,
-        "asof_fast": q_asof_fast,
+        "stream_asof": q_stream_asof,
         "asof_forward": _sql(OQ.asof_forward_sql),
         "rolling_features": q_rolling_features,
         "interval_join": q_interval_join,
@@ -820,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_lsh_pairs, simhash_pairs, whole_table_flow cover them)
         "session_features_fast": q_feature_vector_fast,
         "sessionize_bucketed": q_sessionize_bucketed,
+        "asof_fast": q_asof_fast,
         "asof_merge": q_asof_merge,
         "asof_tolerance": q_asof_tolerance,
         "asof_running_vector": q_asof_running_vector,
@@ -848,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "session_features_salted": OQ.feature_vector_sql(d),
         "asof_merge": OQ.asof_sql(d),
         "asof_fast": OQ.asof_sql(d),
+        "stream_asof": OQ.asof_sql(d),
         "asof_tolerance": OQ.asof_tolerance_sql(d),
         "asof_running_vector": OQ.asof_running_vector_sql(d),
         "asof_union_window_api": OQ.asof_sql(d),

@@ -205,6 +205,180 @@ def stateful_session_features(
     )
 
 
+def stream_asof_attach(
+    features: DataFrame,
+    probes: DataFrame,
+    feature_entity: str = "conv_id",
+    feature_ts: str = "feature_ts",
+    probe_entity: str = "entity_id",
+    probe_ts: str = "probe_ts",
+    strict: bool = True,
+    tolerance_seconds: float | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming as-of join: attach the latest non-leaking feature row to
+    every probe, on two UNBOUNDED streams. Spark has no native stream-stream
+    as-of join (only equi and interval joins), so this implements one with
+    ``applyInPandasWithState`` — the online twin of ``asof.
+    asof_join_union_window`` with the identical zero-leakage contract
+    (strict: a probe at ts T sees only features with ts < T; inclusive:
+    <= T; ``tolerance_seconds``: probe_ts − feature_ts must not exceed it,
+    else the probe emits NULL features).
+
+    Mechanics: both streams are tagged and unioned on the entity key, then
+    grouped state per entity holds (a) the feature buffer, (b) probes not
+    yet answerable. A probe at ts P is answered only once the stream's
+    event-time watermark passes P — at that point no feature with ts <= P
+    can still arrive (anything later would be watermark-late and dropped),
+    so the answer equals the batch join's. Pending probes flush via
+    EventTimeTimeout armed at the earliest pending probe ts, so a quiet
+    entity still answers when OTHER entities advance the watermark.
+
+    Bounded state (the 100-TB property): after each invocation the feature
+    buffer is evicted to {the single latest feature <= watermark} ∪
+    {features > watermark} — the only rows a future probe (necessarily
+    > watermark) can still match — and pending probes are bounded by the
+    watermark horizon. State never grows with stream length, only with
+    in-flight width. Exactly one output row per probe (NULL-padded when no
+    feature qualifies), same as the batch operator.
+
+    Ties: among equal feature ts the last-arrived wins, matching the batch
+    window's ``last()`` over arrival order; duplicate (entity, feature_ts)
+    rows are UB in both engines. Event-time column must be a true TIMESTAMP
+    (cast NTZ first). Semantics pinned against asof_join_union_window in
+    tests/test_streaming.py and driver query ``stream_asof``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flow_feature_spark.asof import _feature_value_cols, _tol_us
+
+    vals = _feature_value_cols(features, feature_entity, feature_ts)
+    tol_us = _tol_us(tolerance_seconds)
+    val_fields = [features.schema[c] for c in vals]
+
+    f = features.select(
+        F.col(feature_entity).alias("__ent"),
+        F.col(feature_ts).cast("timestamp").alias("__ts"),
+        F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(False).alias("__probe"),
+        *[F.col(c) for c in vals],
+    )
+    p = probes.select(
+        F.col(probe_entity).alias("__ent"),
+        F.col(probe_ts).cast("timestamp").alias("__ts"),
+        F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(True).alias("__probe"),
+        *[F.lit(None).cast(fl.dataType).alias(fl.name) for fl in val_fields],
+    )
+    tagged = f.unionByName(p).withWatermark("__ts", watermark)
+
+    state_schema = T.StructType(
+        [T.StructField("fts", T.ArrayType(T.LongType()))]
+        + [
+            T.StructField(f"v{j}", T.ArrayType(fl.dataType))
+            for j, fl in enumerate(val_fields)
+        ]
+        + [T.StructField("pend", T.ArrayType(T.LongType()))]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_entity, probes.schema[probe_entity].dataType),
+            T.StructField(probe_ts, T.TimestampType()),
+        ]
+        + [T.StructField(fl.name, fl.dataType) for fl in val_fields]
+    )
+    side = "left" if strict else "right"
+    nvals = len(vals)
+
+    # in a mixed micro-batch the probe rows NULL-pad the feature value
+    # columns, so pandas widens e.g. long -> float64; coerce back to the
+    # declared type or the state arrays' Arrow cast silently nulls values
+    def _coerce(dt):
+        if isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            return int
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return float
+        return lambda x: x
+
+    coerce = [_coerce(fl.dataType) for fl in val_fields]
+
+    def fn(key, pdf_iter, state: GroupState):
+        ent = key[0]
+        if state.exists:
+            st = state.get
+            fts = list(st[0])
+            fvals = [list(v) for v in st[1 : 1 + nvals]]
+            pend = list(st[-1])
+        else:
+            fts, fvals, pend = [], [[] for _ in range(nvals)], []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            isp = pdf["__probe"].to_numpy(bool)
+            fp, pp = pdf[~isp], pdf[isp]
+            fts.extend(int(t) for t in fp["__t_us"])
+            for j, c in enumerate(vals):
+                # plain-Python values of the DECLARED type: the state
+                # arrays' Arrow cast nulls e.g. float 149.0 in array<long>
+                fvals[j].extend(coerce[j](x) for x in fp[c].tolist())
+            pend.extend(int(t) for t in pp["__t_us"])
+        # stable sort on ts keeps arrival order among equal-ts features, so
+        # searchsorted('left')-1 lands on the LAST-arrived tie — the batch
+        # window's last() pick
+        ts_arr = np.asarray(fts, dtype=np.int64)
+        order = np.argsort(ts_arr, kind="stable")
+        ts_arr = ts_arr[order]
+        fvals = [[v[i] for i in order] for v in fvals]
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        ready = sorted(t for t in pend if t <= wm_us)
+        pend = [t for t in pend if t > wm_us]
+        if ready:
+            rp = np.asarray(ready, dtype=np.int64)
+            idx = np.searchsorted(ts_arr, rp, side=side) - 1
+            ok = idx >= 0
+            if tol_us is not None and len(ts_arr):
+                ok &= np.where(ok, rp - ts_arr[np.maximum(idx, 0)], 0) <= tol_us
+            cols: dict = {
+                probe_entity: [ent] * len(ready),
+                probe_ts: pd.to_datetime(rp, unit="us"),
+            }
+            for j, c in enumerate(vals):
+                cols[c] = [
+                    fvals[j][i] if good else None
+                    for i, good in zip(idx.tolist(), ok.tolist())
+                ]
+            yield pd.DataFrame(cols)
+        # evict features a future probe (> watermark) can never match:
+        # everything older than the latest feature <= watermark
+        cut = np.searchsorted(ts_arr, wm_us, side="right")
+        keep_from = max(0, int(cut) - 1)
+        fts = ts_arr[keep_from:].tolist()
+        fvals = [v[keep_from:] for v in fvals]
+        if not fts and not pend:
+            state.remove()
+            return
+        state.update((fts, *fvals, pend))
+        if pend:
+            # flush when the watermark passes the earliest pending probe;
+            # Spark rejects timeouts at or below the current watermark
+            state.setTimeoutTimestamp(max(min(pend) // 1000, wm_ms + 1))
+
+    return tagged.groupBy("__ent").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_dedup_turns(
     stream_df: DataFrame,
     watermark: str = "2 hours",

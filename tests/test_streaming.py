@@ -370,3 +370,169 @@ def test_stateful_features_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
         assert v == batch[k], (k, [
             (n, a, b) for n, a, b in zip(FEATURE_NAMES, v, batch[k]) if a != b
         ])
+
+
+def _stage_mtime(base, i, df):
+    import os
+    import time
+
+    sub = f"{base}/batch{i}"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    stamp = time.time() + i * 10
+    for root, _, files in os.walk(sub):
+        for f in files:
+            os.utime(os.path.join(root, f), (stamp, stamp))
+
+
+def _run_asof_stream(spark, fdir, pdir, name, **kw):
+    from flow_feature_spark.streaming import stream_asof_attach
+
+    fstream = (
+        spark.readStream.schema(spark.read.parquet(f"{fdir}/batch0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{fdir}/batch*")
+    )
+    pstream = (
+        spark.readStream.schema(spark.read.parquet(f"{pdir}/batch0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{pdir}/batch*")
+    )
+    q = (
+        stream_asof_attach(fstream, pstream, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_stream_asof_attach_matches_batch_join(spark, tmp_path):
+    """Randomized parity: the streaming as-of join over a multi-micro-batch
+    replay (features and probes arriving through SEPARATE sources, chunked
+    by time) must equal asof_join_union_window on the same static frames —
+    one row per probe, strict zero-leakage, NULL rows for entities with no
+    qualifying feature. Watermark delay covers the staging skew between the
+    two sources; far-future advancer features push the watermark past every
+    probe so EventTimeTimeout flushes all pending answers."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.asof import asof_join_union_window
+
+    rng = random.Random(20260817)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    day_us = 86_400_000_000
+    feats_rows = []
+    for i in range(220):
+        ent = f"e{rng.randrange(20)}"
+        ts = base_us + rng.randrange(5 * day_us)
+        feats_rows.append((ent, ts, i, rng.randrange(1000) / 8.0))
+    probe_rows = []
+    for _ in range(160):
+        ent = f"e{rng.randrange(22)}"  # e20/e21 have no features -> NULL rows
+        probe_rows.append((ent, base_us + rng.randrange(5 * day_us)))
+
+    feats = spark.createDataFrame(
+        [(e, t, s, v) for e, t, s, v in feats_rows],
+        "conv_id string, ts_us long, fid long, fscore double",
+    ).select(
+        "conv_id",
+        F2.timestamp_micros("ts_us").alias("feature_ts"),
+        "fid",
+        "fscore",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "entity_id string, ts_us long"
+    ).select("entity_id", F2.timestamp_micros("ts_us").alias("probe_ts"))
+
+    want = sorted(
+        map(
+            tuple,
+            asof_join_union_window(feats, probes, strict=True).collect(),
+        )
+    )
+
+    # chunk both sources at the same global time boundaries (in-order
+    # arrival per source); watermark delay = full span so inter-source
+    # trigger skew can never late-drop a row
+    t1, t2 = base_us + 2 * day_us, base_us + 4 * day_us
+    fdir, pdir = f"{tmp_path}/f", f"{tmp_path}/p"
+    us = F2.unix_micros(F2.col("feature_ts"))
+    _stage_mtime(fdir, 0, feats.filter(us < t1))
+    _stage_mtime(fdir, 1, feats.filter((us >= t1) & (us < t2)))
+    _stage_mtime(fdir, 2, feats.filter(us >= t2))
+    adv = lambda j, off: spark.createDataFrame(  # noqa: E731
+        [("zz_adv", base_us + off, -1, 0.0)],
+        "conv_id string, ts_us long, fid long, fscore double",
+    ).select(
+        "conv_id",
+        F2.timestamp_micros("ts_us").alias("feature_ts"),
+        "fid",
+        "fscore",
+    )
+    # advancers must clear max_probe + watermark delay (6 days)
+    _stage_mtime(fdir, 3, adv(0, 12 * day_us))
+    _stage_mtime(fdir, 4, adv(1, 15 * day_us))
+    pus = F2.unix_micros(F2.col("probe_ts"))
+    _stage_mtime(pdir, 0, probes.filter(pus < t1))
+    _stage_mtime(pdir, 1, probes.filter((pus >= t1) & (pus < t2)))
+    _stage_mtime(pdir, 2, probes.filter(pus >= t2))
+
+    got_df = _run_asof_stream(
+        spark, fdir, pdir, "asof_stream_rand", strict=True,
+        watermark="6 days",
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert len(got) == len(probe_rows)
+    assert got == want
+
+
+def test_stream_asof_attach_tie_tolerance_and_null(spark, tmp_path):
+    """Pinned semantics: strict probe at a feature's exact ts sees only the
+    EARLIER feature; inclusive sees it; max-staleness tolerance NULLs a
+    stale match; a probe for an entity with no features still emits its
+    NULL-padded row."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F2
+
+    base = datetime(2024, 1, 1)
+    s = lambda x: base + timedelta(seconds=x)  # noqa: E731
+    feats = spark.createDataFrame(
+        [("e1", s(50), 7), ("e1", s(100), 8), ("e2", s(0), 9)],
+        "conv_id string, feature_ts timestamp, fid long",
+    )
+    probes = spark.createDataFrame(
+        [("e1", s(100)), ("e2", s(500)), ("e3", s(10))],
+        "entity_id string, probe_ts timestamp",
+    )
+    adv = lambda j: spark.createDataFrame(  # noqa: E731
+        [(f"zz{j}", s(10_000 * (j + 1)), -1)],
+        "conv_id string, feature_ts timestamp, fid long",
+    )
+    for variant, kw, e1_want in [
+        ("strict", dict(strict=True), 7),
+        ("incl", dict(strict=False), 8),
+    ]:
+        fdir, pdir = f"{tmp_path}/f_{variant}", f"{tmp_path}/p_{variant}"
+        _stage_mtime(fdir, 0, feats)
+        _stage_mtime(fdir, 1, adv(0))
+        _stage_mtime(fdir, 2, adv(1))
+        _stage_mtime(pdir, 0, probes)
+        got = {
+            r["entity_id"]: r["fid"]
+            for r in _run_asof_stream(
+                spark, fdir, pdir, f"asof_stream_{variant}",
+                watermark="0 seconds",
+                tolerance_seconds=120.0, **kw,
+            ).collect()
+        }
+        # e2's only feature is 500s stale (> 120s tolerance) -> NULL;
+        # e3 has no features at all -> NULL row still emitted
+        assert got == {"e1": e1_want, "e2": None, "e3": None}, (variant, got)
