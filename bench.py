@@ -131,6 +131,7 @@ def main() -> int:
             "tool_pivot",
             "gap_percentiles",
             "funnel_steps",
+            "funnel_reanchored",
             "cohort_retention",
             "transition_matrix",
             "histogram_drift",

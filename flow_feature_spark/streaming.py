@@ -205,6 +205,40 @@ def stateful_session_features(
     )
 
 
+def _nonnull_default(dt):
+    """A typed NON-NULL literal for a payload field's dummy value on probe
+    rows (never read): any null in a numeric struct field makes the state
+    serializer widen it to float64, corrupting int64 past 2^53."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType)) or isinstance(
+                           dt, T.DecimalType):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return F.lit("").cast(dt)
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.TimestampType):
+        return F.timestamp_micros(F.lit(0))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.timestamp_micros(F.lit(0)).cast(dt)
+    if isinstance(dt, T.DateType):
+        return F.to_date(F.lit("1970-01-01"))
+    if isinstance(dt, T.BinaryType):
+        return F.lit(b"")
+    if isinstance(dt, T.ArrayType):
+        return F.array().cast(dt)
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[_nonnull_default(fl.dataType).alias(fl.name) for fl in dt.fields]
+        )
+    raise TypeError(
+        f"stream_asof_attach: no non-null dummy for feature value type {dt};"
+        " wrap the column (e.g. cast to string) or drop it from the payload"
+    )
+
+
 def stream_asof_attach(
     features: DataFrame,
     probes: DataFrame,
@@ -245,8 +279,13 @@ def stream_asof_attach(
     Ties: among equal feature ts the last-arrived wins, matching the batch
     window's ``last()`` over arrival order; duplicate (entity, feature_ts)
     rows are UB in both engines. Event-time column must be a true TIMESTAMP
-    (cast NTZ first). Semantics pinned against asof_join_union_window in
-    tests/test_streaming.py and driver query ``stream_asof``.
+    (cast NTZ first). Feature VALUE fields must be non-null: a null in a
+    numeric payload field would make the state serializer widen the whole
+    field to float64 (silent int64 corruption past 2^53 — the reason probe
+    rows carry typed non-null dummies instead of a null struct). Semantics
+    pinned against asof_join_union_window in tests/test_streaming.py
+    (including 2^62-magnitude payload ints) and driver query
+    ``stream_asof``.
     """
     import numpy as np
     import pandas as pd
@@ -260,19 +299,31 @@ def stream_asof_attach(
     tol_us = _tol_us(tolerance_seconds)
     val_fields = [features.schema[c] for c in vals]
 
+    # the payload rides as ONE struct column whose fields are NEVER null on
+    # any row: probe rows carry typed non-null dummies (ignored by fn). A
+    # null anywhere in a numeric field makes the state serializer's
+    # Arrow->pandas conversion widen it to float64, which silently corrupts
+    # int64 values past 2^53 (observed: ...249396 -> ...249536) and then
+    # nulls on the array<long> state cast. Null-free columns arrive as
+    # exact int64/float64 — verified by the large-fid parity test.
     f = features.select(
         F.col(feature_entity).alias("__ent"),
         F.col(feature_ts).cast("timestamp").alias("__ts"),
         F.unix_micros(F.col(feature_ts).cast("timestamp")).alias("__t_us"),
         F.lit(False).alias("__probe"),
-        *[F.col(c) for c in vals],
+        F.struct(*[F.col(c) for c in vals]).alias("__payload"),
     )
     p = probes.select(
         F.col(probe_entity).alias("__ent"),
         F.col(probe_ts).cast("timestamp").alias("__ts"),
         F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
         F.lit(True).alias("__probe"),
-        *[F.lit(None).cast(fl.dataType).alias(fl.name) for fl in val_fields],
+        F.struct(
+            *[
+                _nonnull_default(fl.dataType).alias(fl.name)
+                for fl in val_fields
+            ]
+        ).alias("__payload"),
     )
     tagged = f.unionByName(p).withWatermark("__ts", watermark)
 
@@ -294,20 +345,6 @@ def stream_asof_attach(
     side = "left" if strict else "right"
     nvals = len(vals)
 
-    # in a mixed micro-batch the probe rows NULL-pad the feature value
-    # columns, so pandas widens e.g. long -> float64; coerce back to the
-    # declared type or the state arrays' Arrow cast silently nulls values
-    def _coerce(dt):
-        if isinstance(
-            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-        ):
-            return int
-        if isinstance(dt, (T.DoubleType, T.FloatType)):
-            return float
-        return lambda x: x
-
-    coerce = [_coerce(fl.dataType) for fl in val_fields]
-
     def fn(key, pdf_iter, state: GroupState):
         ent = key[0]
         if state.exists:
@@ -323,10 +360,11 @@ def stream_asof_attach(
             isp = pdf["__probe"].to_numpy(bool)
             fp, pp = pdf[~isp], pdf[isp]
             fts.extend(int(t) for t in fp["__t_us"])
-            for j, c in enumerate(vals):
-                # plain-Python values of the DECLARED type: the state
-                # arrays' Arrow cast nulls e.g. float 149.0 in array<long>
-                fvals[j].extend(coerce[j](x) for x in fp[c].tolist())
+            for d in fp["__payload"]:
+                # struct cell -> per-field dict (or Row-like); object dtype,
+                # so int64 values survive exactly
+                for j, c in enumerate(vals):
+                    fvals[j].append(d[c])
             pend.extend(int(t) for t in pp["__t_us"])
         # stable sort on ts keeps arrival order among equal-ts features, so
         # searchsorted('left')-1 lands on the LAST-arrived tie — the batch
@@ -350,10 +388,15 @@ def stream_asof_attach(
                 probe_ts: pd.to_datetime(rp, unit="us"),
             }
             for j, c in enumerate(vals):
-                cols[c] = [
-                    fvals[j][i] if good else None
-                    for i, good in zip(idx.tolist(), ok.tolist())
-                ]
+                # dtype=object: pandas would infer float64 for an int list
+                # containing None, rounding int64 payloads past 2^53
+                cols[c] = pd.Series(
+                    [
+                        fvals[j][i] if good else None
+                        for i, good in zip(idx.tolist(), ok.tolist())
+                    ],
+                    dtype=object,
+                )
             yield pd.DataFrame(cols)
         # evict features a future probe (> watermark) can never match:
         # everything older than the latest feature <= watermark

@@ -432,7 +432,10 @@ def test_stream_asof_attach_matches_batch_join(spark, tmp_path):
     for i in range(220):
         ent = f"e{rng.randrange(20)}"
         ts = base_us + rng.randrange(5 * day_us)
-        feats_rows.append((ent, ts, i, rng.randrange(1000) / 8.0))
+        # fid near 2^62: any float64 widening on the state path would
+        # corrupt the low bits (the bug class the non-null payload struct
+        # exists to prevent)
+        feats_rows.append((ent, ts, (1 << 62) + i * 1001, rng.randrange(1000) / 8.0))
     probe_rows = []
     for _ in range(160):
         ent = f"e{rng.randrange(22)}"  # e20/e21 have no features -> NULL rows
@@ -476,7 +479,10 @@ def test_stream_asof_attach_matches_batch_join(spark, tmp_path):
         "fid",
         "fscore",
     )
-    # advancers must clear max_probe + watermark delay (6 days)
+    # advancers must clear max_probe + watermark delay; a delay much
+    # shorter than the 5-day span forces MID-STREAM answering + feature
+    # eviction between chunks (the paths a full-span delay never hits);
+    # aligned chunk boundaries keep any positive delay late-drop-free
     _stage_mtime(fdir, 3, adv(0, 12 * day_us))
     _stage_mtime(fdir, 4, adv(1, 15 * day_us))
     pus = F2.unix_micros(F2.col("probe_ts"))
@@ -486,7 +492,7 @@ def test_stream_asof_attach_matches_batch_join(spark, tmp_path):
 
     got_df = _run_asof_stream(
         spark, fdir, pdir, "asof_stream_rand", strict=True,
-        watermark="6 days",
+        watermark="12 hours",
     )
     got = sorted(map(tuple, got_df.collect()))
     assert len(got) == len(probe_rows)
