@@ -697,6 +697,46 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4's Iceberg-shaped snapshot layer as a driver query: commit an
+    aggregate of the value<250 events as snapshot 1, the full aggregate as
+    snapshot 2, roll back to 1 (append-only new log entry), and read the
+    CURRENT table state — which must equal the snapshot-1 oracle even
+    though a newer snapshot was committed after it (io.write_snapshot /
+    rollback_snapshot / read_snapshot; VERSION-AS-OF + rollback semantics
+    without the iceberg jar)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.io import (
+        read_snapshot,
+        rollback_snapshot,
+        write_snapshot,
+    )
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    agg = lambda d: (  # noqa: E731
+        d.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # floor per row -> exact bigint sum (a raw double sum is
+            # order-dependent and casts differently across engines)
+            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sv"),
+        )
+    )
+    tp = tempfile.mkdtemp(prefix="ffs_snap_") + "/tbl"
+    try:
+        write_snapshot(agg(ev.filter(F.col("value") < 250)), tp, job="driver")
+        write_snapshot(agg(ev), tp, job="driver")
+        rollback_snapshot(spark, tp, 1)
+        out = read_snapshot(spark, tp).select("event_type", "n", "sv")
+        # materialize before the tmpdir vanishes: the driver collects later
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style ROLLUP(day, hour) through the engine API."""
     from flow_feature_spark.rollup import time_rollup
@@ -875,7 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _sql(OQ.tpch_q1_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
         "semi_anti_join": _sql(OQ.semi_anti_sql),
-        "distinct_count": _sql(OQ.distinct_count_sql),
+        "snapshot_time_travel": q_snapshot_time_travel,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "per_source_features": q_per_source_features,
@@ -906,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash_docs": q_simhash_docs,
         "whole_table_features": _sql(OQ.whole_table_features_sql),
+        "distinct_count": _sql(OQ.distinct_count_sql),
     }
 
 
@@ -952,6 +993,13 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join": OQ.broadcast_join_sql(d),
         "semi_anti_join": OQ.semi_anti_sql(d),
         "distinct_count": OQ.distinct_count_sql(d),
+        # snapshot layer: after commit(A) -> commit(B) -> rollback-to-A,
+        # the CURRENT table state must equal A's aggregate
+        "snapshot_time_travel": (
+            "SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events WHERE value < 250 GROUP BY event_type"
+        ),
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),
         "whole_table_features": OQ.whole_table_features_sql(d),

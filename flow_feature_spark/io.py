@@ -346,3 +346,189 @@ def compact_table(
         "bytes": total_bytes,
         "partition_cols": list(part_cols),
     }
+
+
+# --- Snapshot log: Iceberg-shaped table versioning without the jar ---------
+#
+# Iceberg's core table contract re-expressed on the manifest backend above
+# (the runtime jar is not in this environment; with it, these map 1:1 onto
+# `df.writeTo(tbl)` snapshots, VERSION AS OF reads, rollback_to_snapshot and
+# expire_snapshots). Layout:
+#
+#   table_path/
+#     snap-<id>/           immutable parquet data of one snapshot
+#     _FFS_SNAPSHOTS.json  append-only log, atomically replaced (tmp+rename)
+#
+# Each commit appends {snapshot_id, parent_id, dir, ...}; the LAST entry is
+# the current table state. Rollback appends a NEW entry pointing at an old
+# snapshot's directory (history is never rewritten — Iceberg semantics);
+# expiration deletes data directories no live log entry references. Single
+# writer, like the manifest commit above.
+
+SNAPSHOT_LOG = "_FFS_SNAPSHOTS.json"
+
+
+def _read_log(spark: SparkSession, table_path: str) -> list[dict]:
+    fs, _ = _hadoop_fs(spark, table_path)
+    lp = spark._jvm.org.apache.hadoop.fs.Path(table_path, SNAPSHOT_LOG)
+    if not fs.exists(lp):
+        return []
+    stream = fs.open(lp)
+    try:
+        content = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(content)
+
+
+def _write_log(spark: SparkSession, table_path: str, entries: list[dict]) -> None:
+    jvm = spark._jvm
+    fs, _ = _hadoop_fs(spark, table_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAPSHOT_LOG}.tmp.{uuid.uuid4().hex}"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(table_path, SNAPSHOT_LOG)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(entries, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final) and not fs.delete(final, False):
+        fs.delete(tmp, False)
+        raise IOError(f"snapshot log commit failed: could not replace {final}")
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(f"snapshot log commit failed: rename returned false")
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    job: str = "",
+    input_fingerprint: str = "",
+    metrics: KernelMetrics | None = None,
+    partition_cols: tuple[str, ...] | None = None,
+    operation: str = "overwrite",
+) -> dict:
+    """Commit df as a NEW immutable snapshot of the table; returns the log
+    entry. Readers of earlier snapshot ids are unaffected (their data dirs
+    are immutable) — the writer-never-blocks-readers property Iceberg's
+    snapshot isolation gives, which plain overwrite-in-place parquet lacks.
+    """
+    spark = df.sparkSession
+    log = _read_log(spark, table_path)
+    snap_id = len(log) + 1
+    snap_dir = f"{table_path.rstrip('/')}/snap-{snap_id:06d}"
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("errorifexists")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(snap_dir)
+    entry = {
+        "snapshot_id": snap_id,
+        "parent_id": log[-1]["snapshot_id"] if log else None,
+        "dir": f"snap-{snap_id:06d}",
+        "operation": operation,
+        "job": job,
+        "rows": int(obs.get["rows"]),
+        "schema": df.schema.jsonValue(),
+        "input_fingerprint": input_fingerprint,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "committed_at_unix": int(time.time()),
+        "metrics": metrics.snapshot() if metrics is not None else None,
+    }
+    _write_log(spark, table_path, log + [entry])
+    return entry
+
+
+def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """The table's commit log, oldest first (Iceberg `table.history()`)."""
+    return _read_log(spark, table_path)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    as_of_unix: int | None = None,
+) -> DataFrame:
+    """Read the current table state, a specific snapshot (VERSION AS OF), or
+    the latest snapshot committed at-or-before ``as_of_unix`` (TIMESTAMP AS
+    OF). Time travel reads immutable directories — no lock, no copy."""
+    log = _read_log(spark, table_path)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log at {table_path}")
+    if snapshot_id is not None and as_of_unix is not None:
+        raise ValueError("pass snapshot_id or as_of_unix, not both")
+    if snapshot_id is not None:
+        matches = [e for e in log if e["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"snapshot {snapshot_id} not in log (expired or never committed)")
+        entry = matches[0]
+    elif as_of_unix is not None:
+        eligible = [e for e in log if e["committed_at_unix"] <= as_of_unix]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {as_of_unix}")
+        entry = eligible[-1]
+    else:
+        entry = log[-1]
+    if not entry.get("dir"):
+        raise KeyError(
+            f"snapshot {entry['snapshot_id']} was expired; its data is gone"
+        )
+    return spark.read.parquet(f"{table_path.rstrip('/')}/{entry['dir']}")
+
+
+def rollback_snapshot(
+    spark: SparkSession, table_path: str, snapshot_id: int
+) -> dict:
+    """Make ``snapshot_id`` the current state by committing a NEW log entry
+    that points at its (immutable) data directory — history is append-only,
+    the bad snapshot stays readable for forensics (Iceberg
+    ``rollback_to_snapshot``)."""
+    log = _read_log(spark, table_path)
+    matches = [e for e in log if e["snapshot_id"] == snapshot_id]
+    if not matches:
+        raise KeyError(f"snapshot {snapshot_id} not in log")
+    src = matches[0]
+    entry = dict(
+        src,
+        snapshot_id=len(log) + 1,
+        parent_id=log[-1]["snapshot_id"],
+        operation=f"rollback_to_{snapshot_id}",
+        committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        committed_at_unix=int(time.time()),
+    )
+    _write_log(spark, table_path, log + [entry])
+    return entry
+
+
+def expire_snapshots(
+    spark: SparkSession, table_path: str, keep_last: int = 2
+) -> dict:
+    """Drop the data directories of all but the last ``keep_last`` log
+    entries — EXCEPT directories a kept entry still references (a rollback
+    entry keeps its source snapshot's directory alive). Expired entries stay
+    in the log with dir=None for auditability. The storage-reclaim chore
+    Iceberg's ``expire_snapshots`` runs on every production table."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = _read_log(spark, table_path)
+    keep = log[-keep_last:]
+    live_dirs = {e["dir"] for e in keep if e.get("dir")}
+    jvm = spark._jvm
+    fs, _ = _hadoop_fs(spark, table_path)
+    removed = []
+    new_log = []
+    for e in log[:-keep_last]:
+        d = e.get("dir")
+        if d and d not in live_dirs:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, d), True)
+            removed.append(e["snapshot_id"])
+            e = dict(e, dir=None, operation=e["operation"] + ",expired")
+        new_log.append(e)
+    _write_log(spark, table_path, new_log + keep)
+    return {"expired": removed, "kept": [e["snapshot_id"] for e in keep]}

@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--csv-header", action="store_true",
                    help="write a header row (reference: print_colname switch)")
     p.add_argument("--checkpoint", help="checkpoint dir: resume if a valid manifest exists")
+    p.add_argument("--snapshot", action="store_true",
+                   help="commit the output as a NEW immutable snapshot of the "
+                        "output table (io.write_snapshot): earlier snapshots "
+                        "stay readable — time travel / rollback / expiration "
+                        "via the io snapshot API; parquet sink only")
     p.add_argument("--per-source", action="store_true",
                    help="features mode: one flow per input FILE (reference "
                    "pcap mode, get_flow_feature.py:57 — emits "
@@ -410,6 +415,8 @@ def run(argv: list[str] | None = None) -> int:
     else:
         out = compute()
 
+    if args.snapshot and args.format == "csv":
+        raise SystemExit("--snapshot applies to the parquet sink only")
     if args.format == "csv":
         w = out
         if args.mode != "sessionize":
@@ -422,6 +429,16 @@ def run(argv: list[str] | None = None) -> int:
                     w = w.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
         w.write.mode("overwrite").option("header", str(args.csv_header).lower()).csv(
             args.output
+        )
+    elif args.snapshot:
+        from flow_feature_spark.io import write_snapshot
+
+        entry = write_snapshot(
+            out, args.output, job=args.mode, partition_cols=partition_cols
+        )
+        print(
+            f"committed snapshot {entry['snapshot_id']} of {args.output} "
+            f"({entry['rows']} rows)"
         )
     else:
         w = out.write.mode("overwrite")

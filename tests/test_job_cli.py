@@ -424,3 +424,38 @@ def test_drift_mode_requires_ref(tmp_path):
     except SystemExit as e:
         raised = "requires --ref" in str(e)
     assert raised
+
+
+def test_snapshot_sink_commits_versions(spark, tmp_path):
+    """--snapshot routes the parquet sink through the snapshot log: each run
+    commits a NEW immutable version of the output table; earlier versions
+    stay readable (time travel), and the CSV sink rejects the flag."""
+    from flow_feature_spark import job
+    from flow_feature_spark.io import read_snapshot, snapshot_history
+    from flow_feature_spark.synth import synth_transcripts
+
+    inp, inp2 = f"{tmp_path}/in", f"{tmp_path}/in2"
+    out = f"{tmp_path}/tbl"
+    synth_transcripts(spark, n_convs=12, turns_mean=6).write.parquet(inp)
+    synth_transcripts(spark, n_convs=20, turns_mean=6, seed=7).write.parquet(inp2)
+
+    assert job.run(["--input", inp, "--output", out, "--snapshot"]) == 0
+    assert job.run(["--input", inp2, "--output", out, "--snapshot"]) == 0
+
+    hist = snapshot_history(spark, out)
+    assert [e["snapshot_id"] for e in hist] == [1, 2]
+    assert hist[1]["parent_id"] == 1 and hist[0]["job"] == "features"
+    latest = read_snapshot(spark, out)
+    v1 = read_snapshot(spark, out, snapshot_id=1)
+    # run 2 used a bigger input: the current version has more sessions, and
+    # version 1 is still exactly readable underneath it
+    assert latest.count() > v1.count() > 0
+    assert v1.count() == hist[0]["rows"]
+
+    try:
+        job.run(["--input", inp, "--output", out, "--snapshot",
+                 "--format", "csv"])
+        raised = False
+    except SystemExit as e:
+        raised = "parquet sink only" in str(e)
+    assert raised

@@ -542,3 +542,87 @@ def test_stream_asof_attach_tie_tolerance_and_null(spark, tmp_path):
         # e2's only feature is 500s stale (> 120s tolerance) -> NULL;
         # e3 has no features at all -> NULL row still emitted
         assert got == {"e1": e1_want, "e2": None, "e3": None}, (variant, got)
+
+
+def test_stream_asof_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
+    """S4's resumability extended to the streaming as-of join: run 1 drains
+    the feature/probe files and terminates with probes PENDING in the state
+    store (watermark hasn't passed them); run 2 restarts a NEW query from
+    the same checkpointLocation with advancer features appended — the
+    restored state must answer every pending probe exactly once, and the
+    union of both runs' sink output must equal the batch join."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.asof import asof_join_union_window
+    from flow_feature_spark.streaming import stream_asof_attach
+
+    base_us = 1_704_067_200_000_000
+    feats = spark.createDataFrame(
+        [(f"e{i % 7}", base_us + i * 60_000_000, (1 << 62) + i)
+         for i in range(40)],
+        "conv_id string, ts_us long, fid long",
+    ).select("conv_id", F2.timestamp_micros("ts_us").alias("feature_ts"), "fid")
+    probes = spark.createDataFrame(
+        [(f"e{i % 9}", base_us + 30_000_000 + i * 55_000_000)
+         for i in range(60)],
+        "entity_id string, ts_us long",
+    ).select("entity_id", F2.timestamp_micros("ts_us").alias("probe_ts"))
+    want = sorted(
+        map(tuple, asof_join_union_window(feats, probes, strict=True).collect())
+    )
+
+    fdir, pdir = f"{tmp_path}/f", f"{tmp_path}/p"
+    out_dir, cp = f"{tmp_path}/out", f"{tmp_path}/cp"
+    _stage_mtime(fdir, 0, feats)
+    _stage_mtime(pdir, 0, probes)
+
+    def _run():
+        def src(b):
+            return (
+                spark.readStream.schema(
+                    spark.read.parquet(f"{b}/batch0").schema
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{b}/batch*")
+            )
+
+        q = (
+            stream_asof_attach(
+                src(fdir), src(pdir), strict=True, watermark="600 seconds"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: the 600 s watermark delay keeps every probe within 600 s of the
+    # max event time PENDING in state — the "kill point" a restart must
+    # recover from
+    _run()
+    mid = (
+        spark.read.parquet(out_dir).count()
+        if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(out_dir) for f in fs
+        )
+        else 0
+    )
+    assert mid < len(want)
+
+    adv = lambda j: spark.createDataFrame(  # noqa: E731
+        [(f"zz{j}", base_us + (100 + j) * 86_400_000_000, -1)],
+        "conv_id string, ts_us long, fid long",
+    ).select("conv_id", F2.timestamp_micros("ts_us").alias("feature_ts"), "fid")
+    _stage_mtime(fdir, 1, adv(0))
+    _stage_mtime(fdir, 2, adv(1))
+    _run()
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert len(got) == len(want)  # every probe exactly once across both runs
+    assert got == want

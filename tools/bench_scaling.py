@@ -26,6 +26,7 @@ LEVELS = [2, 8, 32]
 # at the 30M-turn input (VERDICT r2 item 2: jobs are 30-300 s, jitter-proof)
 # one warm-up suffices; the 3.5M-turn default keeps 2
 WARMUPS = int(os.environ.get("SCALING_WARMUPS", "2"))
+MANUAL_MARK = "<!-- MANUAL SECTIONS BELOW: preserved across regeneration -->"
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 
 WORKER = """
@@ -208,8 +209,17 @@ def main() -> int:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # regeneration replaces only the generated part; hand-written sections
+    # below the MANUAL marker (carried clean-window tables, diagnosis) survive
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_MARK in prev:
+            manual = prev[prev.index(MANUAL_MARK):]
     with open(out_path, "w") as fh:
         fh.write("\n".join(md) + "\n")
+        if manual:
+            fh.write("\n" + manual)
     print(f"wrote {out_path}")
     return 0
 

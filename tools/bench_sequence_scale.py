@@ -107,6 +107,13 @@ def main() -> int:
     steps = list(TYPES)
     timed("funnel", lambda: funnel_counts(
         ev, steps, max_step_gap_seconds=7 * 86_400.0))
+    from flow_feature_spark.analytics import funnel_reanchored
+
+    # the any-anchor variant pays k-1 shuffles (one per forward-as-of pass)
+    # instead of the greedy funnel's single exchange; same hot-user skew
+    # surface — record the cost ratio at 30M
+    timed("funnel_reanchored", lambda: funnel_reanchored(
+        ev, steps, conversion_window_seconds=7 * 86_400.0))
     timed("cohort_exact", lambda: cohort_retention(ev))
     timed("cohort_hll", lambda: cohort_retention(ev, exact_distinct=False))
     timed("transition", lambda: transition_counts(
@@ -146,6 +153,7 @@ persisted input, fresh plan per run after one warm-up.
 | operator | wall | output rows |
 |---|---|---|
 | funnel (4 steps, 7-day window) | {out['funnel']['wall_s']}s | {out['funnel']['out_rows']} |
+| funnel re-anchored (any-anchor, k-1 as-of passes) | {out['funnel_reanchored']['wall_s']}s | {out['funnel_reanchored']['out_rows']} |
 | cohort retention (exact distinct) | {out['cohort_exact']['wall_s']}s | {out['cohort_exact']['out_rows']:,} |
 | cohort retention (HLL twin) | {out['cohort_hll']['wall_s']}s | {out['cohort_hll']['out_rows']:,} |
 | transition matrix (normalized) | {out['transition']['wall_s']}s | {out['transition']['out_rows']} |
