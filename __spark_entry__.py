@@ -715,24 +715,103 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
-    agg = lambda d: (  # noqa: E731
-        d.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            # floor per row -> exact bigint sum (a raw double sum is
-            # order-dependent and casts differently across engines)
-            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sv"),
-        )
-    )
     tp = tempfile.mkdtemp(prefix="ffs_snap_") + "/tbl"
     try:
-        write_snapshot(agg(ev.filter(F.col("value") < 250)), tp, job="driver")
-        write_snapshot(agg(ev), tp, job="driver")
+        write_snapshot(
+            _events_agg_sql_shape(spark, sf_dir, F.col("value") < 250),
+            tp,
+            job="driver",
+        )
+        write_snapshot(_events_agg_sql_shape(spark, sf_dir, None), tp, job="driver")
         rollback_snapshot(spark, tp, 1)
-        out = read_snapshot(spark, tp).select("event_type", "n", "sv")
         # materialize before the tmpdir vanishes: the driver collects later
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _collect_frozen(
+            read_snapshot(spark, tp).select("event_type", "n", "sv")
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
+
+
+def _events_agg_sql_shape(spark: SparkSession, sf_dir: str, pred):
+    """Shared helper for the snapshot driver queries: per-event-type
+    (n, sv) aggregate in exact domains (floor per row -> bigint sum; a raw
+    double sum is order-dependent and casts differently across engines)."""
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.filter(pred) if pred is not None else ev
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sv"),
+    )
+
+
+def _collect_frozen(out: DataFrame) -> DataFrame:
+    """Materialize a result whose backing temp table is about to vanish."""
+    spark = out.sparkSession
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot table (io.merge_snapshot, Iceberg/Delta
+    copy-on-write upsert): base = per-type aggregate of value<250 events;
+    updates upsert the value>=350 aggregate for types that have any (view/
+    error don't at this data's value range — the untouched branch) and
+    delete-flag 'click'. The post-merge CURRENT state must equal the oracle
+    computing the same upsert/untouched/delete split in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.io import merge_snapshot, read_snapshot, write_snapshot
+
+    base = _events_agg_sql_shape(spark, sf_dir, F.col("value") < 250)
+    # 'click' is delete-flagged below — MERGE cardinality (one source row per
+    # key) means its upsert row must not also appear
+    upd = (
+        _events_agg_sql_shape(spark, sf_dir, F.col("value") >= 350)
+        .filter(F.col("event_type") != "click")
+        .withColumn("__del", F.lit(False))
+    )
+    del_row = spark.createDataFrame(
+        [("click", 0, 0, True)], "event_type string, n bigint, sv bigint, __del boolean"
+    )
+    tp = tempfile.mkdtemp(prefix="ffs_merge_") + "/tbl"
+    try:
+        write_snapshot(base, tp, job="driver")
+        merge_snapshot(
+            upd.unionByName(del_row), tp, ("event_type",), delete_col="__del"
+        )
+        return _collect_frozen(
+            read_snapshot(spark, tp).select("event_type", "n", "sv")
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan between two snapshots (io.snapshot_changes, the CDC
+    read): v1 = value<250 aggregate, v2 = full aggregate; the diff is one
+    delete+insert pair per type whose aggregate changed, verified against
+    EXCEPT ALL both ways in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.io import snapshot_changes, write_snapshot
+
+    tp = tempfile.mkdtemp(prefix="ffs_chg_") + "/tbl"
+    try:
+        write_snapshot(
+            _events_agg_sql_shape(spark, sf_dir, F.col("value") < 250),
+            tp,
+            job="driver",
+        )
+        write_snapshot(_events_agg_sql_shape(spark, sf_dir, None), tp, job="driver")
+        return _collect_frozen(
+            snapshot_changes(spark, tp, 1, 2).select(
+                "event_type", "n", "sv", "change_type"
+            )
+        )
     finally:
         shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
 
@@ -912,10 +991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage
-        "tpch_q1": _sql(OQ.tpch_q1_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
         "semi_anti_join": _sql(OQ.semi_anti_sql),
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_merge": q_snapshot_merge,
+        "snapshot_changes": q_snapshot_changes,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "per_source_features": q_per_source_features,
@@ -927,14 +1007,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         # --- entries below are OUTSIDE the driver's 50-entry window this
-        # round: each is r3/r4-green and oracle-shares with a sibling above
+        # round: each is r1-r4-green and oracle-shares with a sibling above
         # (session_features_sql/kernel, sessionize_counts, asof_fast/
-        # asof_union_window_sql, time_rollup,
-        # minhash_lsh_pairs, simhash_pairs, whole_table_flow cover them)
+        # asof_union_window_sql, time_rollup, minhash_lsh_pairs,
+        # simhash_pairs, whole_table_flow, ann_lsh/ivf_topk +
+        # embedding_near_dup for C8, session_features_sql for tpch_q1's
+        # agg family cover them)
+        "tpch_q1": _sql(OQ.tpch_q1_sql),
+        "cosine_topk": q_cosine_topk,
         "session_features_fast": q_feature_vector_fast,
         "sessionize_bucketed": q_sessionize_bucketed,
         "asof_fast": q_asof_fast,
@@ -999,6 +1082,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, cast(count(*) AS bigint) AS n, "
             "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
             "FROM events WHERE value < 250 GROUP BY event_type"
+        ),
+        # MERGE INTO: base(value<250) upserted with u(value>=350) per key,
+        # untouched keys kept, 'click' delete-flagged
+        "snapshot_merge": (
+            "WITH b AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events WHERE value < 250 GROUP BY event_type), "
+            "u AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events WHERE value >= 350 GROUP BY event_type) "
+            "SELECT event_type, n, sv FROM u WHERE event_type <> 'click' "
+            "UNION ALL SELECT event_type, n, sv FROM b WHERE event_type "
+            "NOT IN (SELECT event_type FROM u) AND event_type <> 'click'"
+        ),
+        # changelog scan v1 -> v2: EXCEPT ALL both ways, tagged
+        "snapshot_changes": (
+            "WITH v1 AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events WHERE value < 250 GROUP BY event_type), "
+            "v2 AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, n, sv, 'insert' AS change_type FROM "
+            "(SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1) "
+            "UNION ALL "
+            "SELECT event_type, n, sv, 'delete' AS change_type FROM "
+            "(SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"
         ),
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),

@@ -359,11 +359,16 @@ def compact_table(
 #     snap-<id>/           immutable parquet data of one snapshot
 #     _FFS_SNAPSHOTS.json  append-only log, atomically replaced (tmp+rename)
 #
-# Each commit appends {snapshot_id, parent_id, dir, ...}; the LAST entry is
-# the current table state. Rollback appends a NEW entry pointing at an old
-# snapshot's directory (history is never rewritten — Iceberg semantics);
-# expiration deletes data directories no live log entry references. Single
-# writer, like the manifest commit above.
+# Each commit appends {snapshot_id, parent_id, dir, dirs, ...}; the LAST
+# entry is the current table state. ``dir`` is the data directory THIS commit
+# wrote (None for rollback, which writes no data); ``dirs`` is the full list
+# of directories composing the snapshot's state — [own] for overwrite/merge,
+# parent dirs + [own] for append, a copy of the source's for rollback.
+# Readers scan ``dirs`` as one multi-path parquet read, so an append commits
+# only its delta (Iceberg fast-append: no table rewrite). Rollback appends a
+# NEW entry (history is never rewritten — Iceberg semantics); expiration
+# deletes data directories no live log entry references. Single writer, like
+# the manifest commit above.
 
 SNAPSHOT_LOG = "_FFS_SNAPSHOTS.json"
 
@@ -401,6 +406,14 @@ def _write_log(spark: SparkSession, table_path: str, entries: list[dict]) -> Non
         raise IOError(f"snapshot log commit failed: rename returned false")
 
 
+def _entry_dirs(entry: dict) -> list[str] | None:
+    """The data directories composing an entry's state, or None if expired.
+    Pre-``dirs`` log entries carry only ``dir``."""
+    if entry.get("dirs") is not None:
+        return entry["dirs"]
+    return [entry["dir"]] if entry.get("dir") else None
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
@@ -414,9 +427,32 @@ def write_snapshot(
     entry. Readers of earlier snapshot ids are unaffected (their data dirs
     are immutable) — the writer-never-blocks-readers property Iceberg's
     snapshot isolation gives, which plain overwrite-in-place parquet lacks.
+
+    ``operation="append"`` commits ONLY the delta directory and composes the
+    new state as parent dirs + delta (Iceberg fast-append): a daily ingest
+    into a 100-TB table writes the day's data, never rewrites the table.
+    Appends require the parent's exact schema.
     """
+    if operation not in ("overwrite", "append", "merge"):
+        raise ValueError(f"unknown snapshot operation {operation!r}")
     spark = df.sparkSession
     log = _read_log(spark, table_path)
+    parent_dirs: list[str] = []
+    state_rows_base = 0
+    if operation == "append" and log:
+        parent = log[-1]
+        pdirs = _entry_dirs(parent)
+        if pdirs is None:
+            raise KeyError(
+                f"cannot append: parent snapshot {parent['snapshot_id']} is expired"
+            )
+        if parent["schema"] != df.schema.jsonValue():
+            raise ValueError(
+                "append requires the parent snapshot's exact schema; "
+                "commit an overwrite to change schema"
+            )
+        parent_dirs = list(pdirs)
+        state_rows_base = int(parent.get("state_rows", parent["rows"]))
     snap_id = len(log) + 1
     snap_dir = f"{table_path.rstrip('/')}/snap-{snap_id:06d}"
     from pyspark.sql import Observation
@@ -427,13 +463,16 @@ def write_snapshot(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(snap_dir)
+    rows = int(obs.get["rows"])
     entry = {
         "snapshot_id": snap_id,
         "parent_id": log[-1]["snapshot_id"] if log else None,
         "dir": f"snap-{snap_id:06d}",
+        "dirs": parent_dirs + [f"snap-{snap_id:06d}"],
         "operation": operation,
         "job": job,
-        "rows": int(obs.get["rows"]),
+        "rows": rows,
+        "state_rows": state_rows_base + rows,
         "schema": df.schema.jsonValue(),
         "input_fingerprint": input_fingerprint,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -475,11 +514,13 @@ def read_snapshot(
         entry = eligible[-1]
     else:
         entry = log[-1]
-    if not entry.get("dir"):
+    dirs = _entry_dirs(entry)
+    if not dirs:
         raise KeyError(
             f"snapshot {entry['snapshot_id']} was expired; its data is gone"
         )
-    return spark.read.parquet(f"{table_path.rstrip('/')}/{entry['dir']}")
+    base = table_path.rstrip("/")
+    return spark.read.parquet(*[f"{base}/{d}" for d in dirs])
 
 
 def rollback_snapshot(
@@ -494,10 +535,14 @@ def rollback_snapshot(
     if not matches:
         raise KeyError(f"snapshot {snapshot_id} not in log")
     src = matches[0]
+    if _entry_dirs(src) is None:
+        raise KeyError(f"snapshot {snapshot_id} was expired; cannot roll back")
     entry = dict(
         src,
         snapshot_id=len(log) + 1,
         parent_id=log[-1]["snapshot_id"],
+        dir=None,  # a rollback writes no data of its own
+        dirs=_entry_dirs(src),
         operation=f"rollback_to_{snapshot_id}",
         committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         committed_at_unix=int(time.time()),
@@ -518,17 +563,115 @@ def expire_snapshots(
         raise ValueError("keep_last must be >= 1")
     log = _read_log(spark, table_path)
     keep = log[-keep_last:]
-    live_dirs = {e["dir"] for e in keep if e.get("dir")}
+    live_dirs: set[str] = set()
+    for e in keep:
+        live_dirs.update(_entry_dirs(e) or [])
     jvm = spark._jvm
     fs, _ = _hadoop_fs(spark, table_path)
     removed = []
+    deleted: set[str] = set()
     new_log = []
     for e in log[:-keep_last]:
+        dirs = _entry_dirs(e)
+        if dirs is None:  # already expired
+            new_log.append(e)
+            continue
+        if set(dirs) <= live_dirs:
+            # every directory composing this state is still referenced by a
+            # kept entry (e.g. the source of a kept rollback) — stays readable
+            new_log.append(e)
+            continue
         d = e.get("dir")
-        if d and d not in live_dirs:
+        if d and d not in live_dirs and d not in deleted:
             fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, d), True)
-            removed.append(e["snapshot_id"])
-            e = dict(e, dir=None, operation=e["operation"] + ",expired")
-        new_log.append(e)
+            deleted.add(d)
+        removed.append(e["snapshot_id"])
+        new_log.append(
+            dict(e, dir=None, dirs=None, operation=e["operation"] + ",expired")
+        )
     _write_log(spark, table_path, new_log + keep)
     return {"expired": removed, "kept": [e["snapshot_id"] for e in keep]}
+
+
+def merge_snapshot(
+    updates: DataFrame,
+    table_path: str,
+    key_cols: tuple[str, ...],
+    delete_col: str | None = None,
+    job: str = "",
+    partition_cols: tuple[str, ...] | None = None,
+) -> dict:
+    """MERGE INTO the snapshot table (Iceberg/Delta upsert, copy-on-write):
+    rows of ``updates`` replace current rows with the same key, keys absent
+    from the current state are inserted, and — when ``delete_col`` names a
+    boolean column — rows flagged true DELETE their key instead. Commits the
+    merged state as a new snapshot (operation="merge"); time travel to the
+    pre-merge state keeps working.
+
+    Plan shape: current LEFT ANTI JOIN (distinct update keys) ∪ upserts —
+    one shuffle of the current state on the key (or zero when the update
+    key set fits under the broadcast threshold, the common CDC case), then
+    a plain append-style write. Copy-on-write rewrites the table like
+    Iceberg's COW mode; partition_cols bound the rewrite the same way
+    partitioned COW does. A merge-on-read variant (commit the delta, apply
+    at read) is the append operation + read-side reconciliation."""
+    spark = updates.sparkSession
+    current = read_snapshot(spark, table_path)
+    data_cols = [c for c in updates.columns if c != delete_col]
+    if set(data_cols) != set(current.columns):
+        raise ValueError(
+            f"merge schema mismatch: updates {sorted(data_cols)} vs "
+            f"table {sorted(current.columns)}"
+        )
+    missing = [k for k in key_cols if k not in current.columns]
+    if missing:
+        raise ValueError(f"key columns not in table: {missing}")
+    from pyspark.sql import functions as F
+
+    # MERGE's cardinality rule (Iceberg/Delta raise on multiple source rows
+    # matching one target row): a duplicated key would make the upsert
+    # non-deterministic — or silently resurrect a key its other row deletes.
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        keys = [tuple(r[k] for k in key_cols) for r in dup]
+        raise ValueError(f"merge updates have multiple rows per key: {keys}")
+    touched = updates.select(*key_cols).distinct()
+    upserts = (
+        updates.filter(~F.col(delete_col)) if delete_col else updates
+    ).select(*current.columns)
+    kept = current.join(touched, on=list(key_cols), how="left_anti")
+    return write_snapshot(
+        kept.unionByName(upserts),
+        table_path,
+        job=job,
+        operation="merge",
+        partition_cols=partition_cols,
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+) -> DataFrame:
+    """Changelog between two snapshots (Iceberg changelog scan / Delta CDF
+    read): full-row multiset diff — rows only in ``to`` tagged ``insert``,
+    rows only in ``from`` tagged ``delete``; an updated row appears as a
+    delete+insert pair. exceptAll keeps duplicate multiplicity, so N copies
+    appearing/disappearing emit N change rows. Both sides shuffle on the
+    full row once; for key-based CDC at 100 TB, capture changes at merge
+    time instead (the ``updates`` frame IS the changelog)."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, table_path, snapshot_id=from_snapshot_id)
+    b = read_snapshot(spark, table_path, snapshot_id=to_snapshot_id)
+    ins = b.exceptAll(a).withColumn("change_type", F.lit("insert"))
+    dels = a.exceptAll(b).withColumn("change_type", F.lit("delete"))
+    return ins.unionByName(dels)

@@ -88,3 +88,127 @@ def test_snapshot_partitioned_write_reads_back(spark, tmp_path):
     assert sorted(got.columns) == ["id", "p"]
     # partition pruning works on the snapshot directory
     assert got.filter(F.col("p") == "1").count() == 25
+
+
+def test_snapshot_append_commits_delta_only(spark, tmp_path):
+    """operation="append" writes ONLY the delta directory (Iceberg
+    fast-append): state = parent dirs + delta, earlier snapshots unchanged,
+    schema drift rejected."""
+    tp = str(tmp_path / "atbl")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumn(  # noqa: E731
+        "v", F.col("id") * 10
+    )
+    e1 = write_snapshot(mk(0, 4), tp)
+    e2 = write_snapshot(mk(4, 10), tp, operation="append")
+    e3 = write_snapshot(mk(10, 11), tp, operation="append")
+    assert e1["dirs"] == ["snap-000001"]
+    assert e2["dirs"] == ["snap-000001", "snap-000002"]
+    assert e3["dirs"] == ["snap-000001", "snap-000002", "snap-000003"]
+    assert (e2["rows"], e2["state_rows"]) == (6, 10)
+    assert e3["state_rows"] == 11
+    assert read_snapshot(spark, tp).count() == 11
+    assert read_snapshot(spark, tp, snapshot_id=2).count() == 10
+    assert read_snapshot(spark, tp, snapshot_id=1).count() == 4
+    assert sorted(
+        r["v"] for r in read_snapshot(spark, tp).collect()
+    ) == [i * 10 for i in range(11)]
+
+    # schema drift must be an overwrite, not an append
+    try:
+        write_snapshot(
+            spark.range(3).withColumn("other", F.lit("x")),
+            tp,
+            operation="append",
+        )
+        raise AssertionError("append with a different schema must fail")
+    except ValueError:
+        pass
+
+    # rollback to an append snapshot carries its full composition
+    rollback_snapshot(spark, tp, 2)
+    assert read_snapshot(spark, tp).count() == 10
+    # expire keep_last=1: the kept rollback references snaps 1+2, so only
+    # snap 3's delta is reclaimable
+    res = expire_snapshots(spark, tp, keep_last=1)
+    assert res["expired"] == [3]
+    assert read_snapshot(spark, tp).count() == 10
+    assert read_snapshot(spark, tp, snapshot_id=1).count() == 4
+
+
+def test_snapshot_merge_upsert_insert_delete(spark, tmp_path):
+    """merge_snapshot = MERGE INTO: same-key rows replaced, new keys
+    inserted, delete-flagged keys removed; pre-merge state still readable."""
+    from flow_feature_spark.io import merge_snapshot
+
+    tp = str(tmp_path / "mtbl")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)], "k string, n int, v int"
+    )
+    write_snapshot(base, tp)
+    updates = spark.createDataFrame(
+        [
+            ("b", 99, 990, False),   # update existing key
+            ("d", 4, 40, False),     # insert new key
+            ("a", 0, 0, True),       # delete existing key
+        ],
+        "k string, n int, v int, __del boolean",
+    )
+    e = merge_snapshot(updates, tp, ("k",), delete_col="__del")
+    assert e["operation"] == "merge" and e["snapshot_id"] == 2
+    got = {r["k"]: (r["n"], r["v"]) for r in read_snapshot(spark, tp).collect()}
+    assert got == {"b": (99, 990), "c": (3, 30), "d": (4, 40)}
+    # time travel to the pre-merge state
+    pre = {r["k"]: r["n"] for r in
+           read_snapshot(spark, tp, snapshot_id=1).collect()}
+    assert pre == {"a": 1, "b": 2, "c": 3}
+
+    # schema mismatch walls
+    try:
+        merge_snapshot(updates.drop("v"), tp, ("k",), delete_col="__del")
+        raise AssertionError("schema mismatch must fail")
+    except ValueError:
+        pass
+    try:
+        merge_snapshot(updates, tp, ("nope",), delete_col="__del")
+        raise AssertionError("bad key must fail")
+    except ValueError:
+        pass
+
+    # MERGE cardinality: two source rows for one key (an upsert AND a delete
+    # flag) is ambiguous — Iceberg/Delta raise; so do we
+    dup = spark.createDataFrame(
+        [("b", 1, 10, False), ("b", 0, 0, True)],
+        "k string, n int, v int, __del boolean",
+    )
+    try:
+        merge_snapshot(dup, tp, ("k",), delete_col="__del")
+        raise AssertionError("duplicate source keys must fail")
+    except ValueError as e:
+        assert "multiple rows per key" in str(e)
+
+
+def test_snapshot_changes_full_row_diff(spark, tmp_path):
+    """snapshot_changes = changelog scan between versions: inserts, deletes,
+    and an update as a delete+insert pair; multiset semantics keep duplicate
+    multiplicity."""
+    from flow_feature_spark.io import snapshot_changes
+
+    tp = str(tmp_path / "ctbl")
+    v1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("dup", 7), ("dup", 7)], "k string, n int"
+    )
+    v2 = spark.createDataFrame(
+        [("a", 1), ("b", 99), ("c", 3), ("dup", 7)], "k string, n int"
+    )
+    write_snapshot(v1, tp)
+    write_snapshot(v2, tp)
+    ch = sorted(
+        (r["change_type"], r["k"], r["n"])
+        for r in snapshot_changes(spark, tp, 1, 2).collect()
+    )
+    assert ch == [
+        ("delete", "b", 2),      # update = delete+insert
+        ("delete", "dup", 7),    # multiplicity 2 -> 1: ONE delete row
+        ("insert", "b", 99),
+        ("insert", "c", 3),
+    ]
