@@ -816,6 +816,74 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
 
 
+def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental feature maintenance (incremental.incremental_feature_update):
+    turns split at the 60th ts_us percentile; batch 1 initializes the
+    turn-history and feature snapshot tables, batch 2 is ingested
+    incrementally — fast-append the delta, recompute ONLY the touched
+    conversations over their full history, replace their feature rows as
+    groups. The final table must equal the full-recompute oracle
+    (feature_vector_sql, the same oracle session_features_sql uses): the
+    whole point of the operator is that incremental == full, bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.incremental import incremental_feature_update
+    from flow_feature_spark.io import read_snapshot
+
+    turns = _events_turns(spark, sf_dir).drop("ts")
+    cut = int(turns.agg(F.expr("percentile(ts_us, 0.6)").alias("c")).first()["c"])
+    root = tempfile.mkdtemp(prefix="ffs_incr_")
+    tt, ft = f"{root}/turns", f"{root}/feats"
+    try:
+        incremental_feature_update(
+            turns.filter(F.col("ts_us") <= cut), tt, ft, OQ.SESSION_GAP_S
+        )
+        incremental_feature_update(
+            turns.filter(F.col("ts_us") > cut), tt, ft, OQ.SESSION_GAP_S
+        )
+        return _collect_frozen(
+            read_snapshot(spark, ft).select(
+                "conv_id", "session_id", "n_turns", *FEATURE_NAMES
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (quality.check_expectations): seven
+    constraint kinds over the events table, all evaluated in ONE aggregate
+    scan; the oracle recomputes each count as a CASE-sum / count-distinct in
+    SQL. Detail strings are part of the contract (they must match the SQL
+    literals exactly)."""
+    from flow_feature_spark.quality import (
+        check_expectations,
+        expect_expr,
+        expect_in_range,
+        expect_in_set,
+        expect_like,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+    )
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return check_expectations(
+        ev,
+        [
+            expect_not_null("user_id"),
+            expect_in_range("value", 0, 490),
+            expect_in_set("event_type", ["click", "view", "purchase"]),
+            expect_like("props", "{%"),
+            expect_unique("event_id"),
+            expect_row_count(1000),
+            expect_expr("value_nonneg", "value >= 0"),
+        ],
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style ROLLUP(day, hour) through the engine API."""
     from flow_feature_spark.rollup import time_rollup
@@ -973,8 +1041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_running": _sql(OQ.cumulative_sql),
         "asof_union_window_sql": _sql(OQ.asof_sql),
         # engine-API implementations against independent oracles
-        "session_features_kernel": q_feature_vector_kernel,
-        "session_features_salted": q_session_features_salted,
         "dedup_turns": q_dedup_turns,
         "stream_asof": q_stream_asof,
         "asof_forward": _sql(OQ.asof_forward_sql),
@@ -996,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
+        "incremental_features": q_incremental_features,
+        "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "per_source_features": q_per_source_features,
@@ -1018,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg family cover them)
         "tpch_q1": _sql(OQ.tpch_q1_sql),
         "cosine_topk": q_cosine_topk,
+        "session_features_kernel": q_feature_vector_kernel,
+        "session_features_salted": q_session_features_salted,
         "session_features_fast": q_feature_vector_fast,
         "sessionize_bucketed": q_sessionize_bucketed,
         "asof_fast": q_asof_fast,
@@ -1045,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_running": OQ.cumulative_sql(d),
         "asof_union_window_sql": OQ.asof_sql(d),
         "session_features_kernel": OQ.feature_vector_sql(d),
+        "incremental_features": OQ.feature_vector_sql(d),
         "session_features_fast": OQ.feature_vector_sql(d),
         "dedup_turns": OQ.dedup_turns_sql(d),
         "session_features_salted": OQ.feature_vector_sql(d),
@@ -1109,6 +1180,31 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT event_type, n, sv, 'delete' AS change_type FROM "
             "(SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"
+        ),
+        # quality gate: each constraint's count recomputed as CASE-sums /
+        # count-distinct in one pass; detail strings are literal contract
+        "quality_checks": (
+            "WITH t AS (SELECT cast(count(*) AS bigint) AS total, "
+            "cast(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS v0, "
+            "cast(sum(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0 AND 490) "
+            "THEN 1 ELSE 0 END) AS bigint) AS v1, "
+            "cast(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN "
+            "('click', 'view', 'purchase') THEN 1 ELSE 0 END) AS bigint) AS v2, "
+            "cast(sum(CASE WHEN props IS NOT NULL AND props NOT LIKE '{%' "
+            "THEN 1 ELSE 0 END) AS bigint) AS v3, "
+            "cast(count(event_id) - count(DISTINCT event_id) AS bigint) AS v4, "
+            "cast(CASE WHEN count(*) < 1000 THEN 1000 - count(*) ELSE 0 END "
+            "AS bigint) AS v5, "
+            "cast(sum(CASE WHEN (value >= 0) IS NOT NULL AND NOT (value >= 0) "
+            "THEN 1 ELSE 0 END) AS bigint) AS v6 FROM events) "
+            "SELECT 'not_null' AS check_name, 'user_id' AS column_name, "
+            "'is not null' AS detail, total, v0 AS violations, v0 = 0 AS passed FROM t "
+            "UNION ALL SELECT 'in_range', 'value', 'between 0 and 490', total, v1, v1 = 0 FROM t "
+            "UNION ALL SELECT 'in_set', 'event_type', 'in (click, view, purchase)', total, v2, v2 = 0 FROM t "
+            "UNION ALL SELECT 'like', 'props', 'like ''{%''', total, v3, v3 = 0 FROM t "
+            "UNION ALL SELECT 'unique', 'event_id', 'unique(event_id)', total, v4, v4 = 0 FROM t "
+            "UNION ALL SELECT 'row_count', '*', 'rows >= 1000', total, v5, v5 = 0 FROM t "
+            "UNION ALL SELECT 'expr', 'value_nonneg', 'value >= 0', total, v6, v6 = 0 FROM t"
         ),
         "topk_per_group": OQ.topk_per_group_sql(d),
         "whole_table_flow": OQ.whole_table_flow_sql(d),

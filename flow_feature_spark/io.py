@@ -655,6 +655,47 @@ def merge_snapshot(
     )
 
 
+def replace_groups_snapshot(
+    updates: DataFrame,
+    table_path: str,
+    group_cols: tuple[str, ...],
+    job: str = "",
+    partition_cols: tuple[str, ...] | None = None,
+) -> dict:
+    """Group-granular overwrite (Delta ``replaceWhere`` / Iceberg dynamic
+    partition overwrite, at arbitrary key granularity): every current row
+    whose group key appears in ``updates`` is dropped and replaced by ALL of
+    ``updates``' rows for that group — including groups with a different row
+    COUNT than before (a row-keyed merge can't shrink a group; this can).
+    Groups absent from ``updates`` are untouched; new groups are inserted.
+
+    This is the maintenance primitive incremental recomputation needs: a
+    group (conversation, partition, day) is recomputed as a unit, so its old
+    rows must vanish as a unit. Same plan shape as merge_snapshot — one
+    left-anti join of the current state against the distinct touched keys
+    (broadcast when small) — without MERGE's one-row-per-key cardinality
+    rule, which multi-row groups would violate."""
+    spark = updates.sparkSession
+    current = read_snapshot(spark, table_path)
+    if set(updates.columns) != set(current.columns):
+        raise ValueError(
+            f"replace_groups schema mismatch: updates {sorted(updates.columns)} "
+            f"vs table {sorted(current.columns)}"
+        )
+    missing = [k for k in group_cols if k not in current.columns]
+    if missing:
+        raise ValueError(f"group columns not in table: {missing}")
+    touched = updates.select(*group_cols).distinct()
+    kept = current.join(touched, on=list(group_cols), how="left_anti")
+    return write_snapshot(
+        kept.unionByName(updates.select(*current.columns)),
+        table_path,
+        job=job,
+        operation="merge",
+        partition_cols=partition_cols,
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_path: str,

@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mode",
         choices=["features", "sessionize", "asof", "stream", "rollup",
-                 "compact", "profile", "drift"],
+                 "compact", "profile", "drift", "quality", "incremental"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
@@ -37,8 +37,25 @@ def build_parser() -> argparse.ArgumentParser:
         "place into ~--target-file-mb files (small-files maintenance; "
         "--output ignored); profile: per-column ingest-QA stats of --input; "
         "drift: per-bin chi-square of --drift-value between --ref "
-        "(reference slice) and --input (current slice)",
+        "(reference slice) and --input (current slice); "
+        "quality: evaluate the --expectations constraints against --input in "
+        "one scan and write the report (exit 2 with --fail-on-violation if "
+        "any fail); incremental: ingest --input as a turn delta into "
+        "--turns-table and bring --features-table up to date, recomputing "
+        "only the touched conversations (--output ignored)",
     )
+    p.add_argument("--expectations",
+                   help="--mode quality: JSON file with a list of constraint "
+                   "specs, e.g. [{\"kind\": \"not_null\", \"col\": \"conv_id\"}]")
+    p.add_argument("--fail-on-violation", action="store_true",
+                   help="--mode quality: exit 2 if any constraint fails "
+                   "(report is still written)")
+    p.add_argument("--turns-table",
+                   help="--mode incremental: snapshot table holding the "
+                   "accumulated turn history (created on first run)")
+    p.add_argument("--features-table",
+                   help="--mode incremental: snapshot table holding the "
+                   "maintained per-session feature vectors")
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument(
@@ -135,6 +152,12 @@ def run(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.mode == "drift" and not args.ref:
         raise SystemExit("--mode drift requires --ref")
+    if args.mode == "quality" and not args.expectations:
+        raise SystemExit("--mode quality requires --expectations")
+    if args.mode == "incremental" and not (args.turns_table and args.features_table):
+        raise SystemExit(
+            "--mode incremental requires --turns-table and --features-table"
+        )
 
     from flow_feature_spark.asof import asof_join_fast
     from flow_feature_spark.io import resume_or_compute
@@ -255,8 +278,46 @@ def run(argv: list[str] | None = None) -> int:
             return spark.read.json(args.input)
         return spark.read.parquet(args.input)
 
+    if args.mode == "incremental":
+        # the S7 daily-pipeline entrypoint: delta in, touched conversations
+        # recomputed over full history, feature rows group-replaced —
+        # bit-identical to a full recompute (tests/test_incremental.py)
+        from flow_feature_spark.incremental import (
+            TURN_COLS,
+            incremental_feature_update,
+        )
+
+        delta = dedup_turns(normalize_turns(_read_input())).select(*TURN_COLS)
+        stats = incremental_feature_update(
+            delta, args.turns_table, args.features_table,
+            gap_seconds=args.gap_seconds, rounding=args.rounding,
+            reset_tool=args.reset_tool,
+        )
+        print(
+            f"incremental update: initialized={stats['initialized']} "
+            f"touched_convs={stats['touched_convs']} "
+            f"turns_appended={stats['turns_appended']} "
+            f"feature_rows={stats['feature_rows']} "
+            f"(turns snap {stats['turns_snapshot']}, "
+            f"features snap {stats['features_snapshot']})"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
+
     def compute():
         df = _read_input()
+        if args.mode == "quality":
+            import json
+
+            from flow_feature_spark.quality import (
+                check_expectations,
+                expectations_from_specs,
+            )
+
+            with open(args.expectations) as fh:
+                specs = json.load(fh)
+            return check_expectations(df, expectations_from_specs(specs))
         if args.mode == "rollup":
             from flow_feature_spark.rollup import time_rollup
 
@@ -405,6 +466,7 @@ def run(argv: list[str] | None = None) -> int:
             f"ref={args.ref if args.mode == 'drift' else None}",
             f"fmt={args.input_format}",
             f"pb={args.partition_by}",
+            f"exp={args.expectations if args.mode == 'quality' else None}",
         ])
         out, resumed = resume_or_compute(
             spark, args.checkpoint, args.mode, compute,
@@ -446,9 +508,17 @@ def run(argv: list[str] | None = None) -> int:
             w = w.partitionBy(*partition_cols)
         w.parquet(args.output)
     print(f"wrote {args.output}")
+    rc = 0
+    if args.mode == "quality" and args.fail_on_violation:
+        from pyspark.sql import functions as F
+
+        failed = [r["detail"] for r in out.filter(~F.col("passed")).collect()]
+        if failed:
+            print(f"quality gate FAILED: {failed}", file=sys.stderr)
+            rc = 2
     if owns_session:
         spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -459,3 +459,77 @@ def test_snapshot_sink_commits_versions(spark, tmp_path):
     except SystemExit as e:
         raised = "parquet sink only" in str(e)
     assert raised
+
+
+def test_job_quality_mode_gate(spark, tmp_path):
+    """--mode quality: JSON expectations -> one-scan report; exit 2 with
+    --fail-on-violation when a constraint fails, 0 when all pass."""
+    inp, out = f"{tmp_path}/in", f"{tmp_path}/qrep"
+    _write_input(spark, inp)
+    exps = f"{tmp_path}/exps.json"
+    with open(exps, "w") as fh:
+        json.dump(
+            [
+                {"kind": "not_null", "col": "conv_id"},
+                {"kind": "unique", "cols": ["conv_id", "turn_idx"]},
+                {"kind": "row_count", "min_rows": 10},
+                {"kind": "expr", "name": "ts_set", "predicate": "ts IS NOT NULL"},
+            ],
+            fh,
+        )
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "quality",
+        "--expectations", exps, "--fail-on-violation",
+    ]) == 0
+    rep = {r["check_name"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rep) == {"not_null", "unique", "row_count", "expr"}
+    assert all(r["passed"] for r in rep.values())
+
+    # a failing constraint flips the exit code (report still written)
+    with open(exps, "w") as fh:
+        json.dump([{"kind": "row_count", "min_rows": 10**9}], fh)
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "quality",
+        "--expectations", exps, "--fail-on-violation",
+    ]) == 2
+    assert not spark.read.parquet(out).collect()[0]["passed"]
+
+
+def test_job_incremental_mode(spark, tmp_path):
+    """--mode incremental: two delta ingests == one full-recompute features
+    run over the concatenated input, bit-for-bit."""
+    full, d1, d2 = f"{tmp_path}/full", f"{tmp_path}/d1", f"{tmp_path}/d2"
+    tr = synth_transcripts(spark, n_convs=15, turns_mean=12)
+    cut = tr.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.5) p").first()["p"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tr.filter(us <= cut).write.parquet(d1)
+    tr.filter(us > cut).write.parquet(d2)
+    tr.write.parquet(full)
+
+    tt, ft = f"{tmp_path}/turns_tbl", f"{tmp_path}/feats_tbl"
+    for d in (d1, d2):
+        assert job.run([
+            "--input", d, "--output", "ignored", "--mode", "incremental",
+            "--turns-table", tt, "--features-table", ft,
+            "--engine", "exact-sql", "--rounding", "r6",
+        ]) == 0
+
+    ref_out = f"{tmp_path}/ref_out"
+    assert job.run([
+        "--input", full, "--output", ref_out,
+        "--engine", "exact-sql", "--rounding", "r6",
+    ]) == 0
+
+    from flow_feature_spark.io import read_snapshot
+
+    got = sorted(
+        map(tuple, read_snapshot(spark, ft).select(
+            "conv_id", "session_id", "n_turns", "fiat_mean", "dpl_total"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(ref_out).select(
+            "conv_id", "session_id", "n_turns", "fiat_mean", "dpl_total"
+        ).collect())
+    )
+    assert got == want and len(got) > 10
