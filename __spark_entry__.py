@@ -821,10 +821,12 @@ def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns split at the 60th ts_us percentile; batch 1 initializes the
     turn-history and feature snapshot tables, batch 2 is ingested
     incrementally — fast-append the delta, recompute ONLY the touched
-    conversations over their full history, replace their feature rows as
-    groups. The final table must equal the full-recompute oracle
-    (feature_vector_sql, the same oracle session_features_sql uses): the
-    whole point of the operator is that incremental == full, bit-for-bit."""
+    conversations over their full history, and (feature_buckets=8) replace
+    their rows via the partition-bounded path: only touched hash buckets
+    are rewritten, readers shadow them in older directories. The final
+    table must equal the full-recompute oracle (feature_vector_sql, the
+    same oracle session_features_sql uses): the whole point of the operator
+    is that incremental == full, bit-for-bit."""
     import os
     import shutil
     import tempfile
@@ -838,10 +840,12 @@ def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt, ft = f"{root}/turns", f"{root}/feats"
     try:
         incremental_feature_update(
-            turns.filter(F.col("ts_us") <= cut), tt, ft, OQ.SESSION_GAP_S
+            turns.filter(F.col("ts_us") <= cut), tt, ft, OQ.SESSION_GAP_S,
+            feature_buckets=8,
         )
         incremental_feature_update(
-            turns.filter(F.col("ts_us") > cut), tt, ft, OQ.SESSION_GAP_S
+            turns.filter(F.col("ts_us") > cut), tt, ft, OQ.SESSION_GAP_S,
+            feature_buckets=8,
         )
         return _collect_frozen(
             read_snapshot(spark, ft).select(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from flow_feature_spark.io import (
     _read_log,
     read_snapshot,
+    replace_groups_partitioned,
     replace_groups_snapshot,
     write_snapshot,
 )
@@ -50,6 +51,8 @@ def incremental_feature_update(
     reset_tool: str | None = None,
     broadcast_touched: bool = True,
     partition_cols: tuple[str, ...] | None = None,
+    feature_buckets: int | None = None,
+    feature_bucket_expr: str | None = None,
 ) -> dict:
     """Ingest ``new_turns`` and bring ``features_table`` up to date.
 
@@ -66,6 +69,25 @@ def incremental_feature_update(
     conversation ids into the history scan (the right call when the delta is
     a day against years of history); set False to let AQE choose.
 
+    ``feature_buckets=N`` stores the feature table hive-partitioned by
+    ``__bucket = xxhash64(conv_id) % N`` and updates it with
+    replace_groups_partitioned: only the buckets containing touched
+    conversations are rewritten, so the update cost is proportional to the
+    delta's footprint instead of the feature-table size — without it, the
+    full-table copy-on-write rewrite is the floor of every update
+    (measured in BENCH/INCREMENTAL.md). Size N so table_rows/N fits a
+    comfortable rewrite unit (~one parquet file per bucket).
+
+    A HASH bucket only bounds the rewrite while touched_convs << N (k
+    random convs hit ~k distinct buckets). When deltas have locality — new
+    and recent conversations, the daily-pipeline norm — pass
+    ``feature_bucket_expr`` instead: a SQL expression over ``conv_id``
+    (and ONLY conv_id: every row of a group must land in one bucket, and
+    the bucket must never change across updates) that buckets by
+    cohort/range, so a recent-cohort delta touches few buckets regardless
+    of its size. Measured: the range-bucketed update rewrites ~2% of the
+    table where hash bucketing rewrites most of it (BENCH/INCREMENTAL.md).
+
     Returns {"initialized", "touched_convs", "turns_appended",
     "feature_rows", "turns_snapshot", "features_snapshot"}.
     """
@@ -79,13 +101,29 @@ def incremental_feature_update(
         t, gap_seconds, rounding=rounding, reset_tool=reset_tool
     )
 
+    if feature_bucket_expr:
+        bucket_of = F.expr(feature_bucket_expr).cast("int")
+        bucketed = True
+    elif feature_buckets:
+        bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(feature_buckets)).cast("int")
+        bucketed = True
+    else:
+        bucket_of, bucketed = None, False
     first = not _read_log(spark, turns_table)
     if first:
         te = write_snapshot(
             new_turns, turns_table, job="incremental", partition_cols=partition_cols
         )
         feats = feats_of(read_snapshot(spark, turns_table))
-        fe = write_snapshot(feats, features_table, job="incremental")
+        if bucketed:
+            fe = write_snapshot(
+                feats.withColumn("__bucket", bucket_of),
+                features_table,
+                job="incremental",
+                partition_cols=("__bucket",),
+            )
+        else:
+            fe = write_snapshot(feats, features_table, job="incremental")
         return {
             "initialized": True,
             "touched_convs": None,
@@ -103,13 +141,21 @@ def incremental_feature_update(
         partition_cols=partition_cols,
     )
     touched = new_turns.select("conv_id").distinct()
-    if broadcast_touched:
-        touched = F.broadcast(touched)
     history = read_snapshot(spark, turns_table).join(
-        touched, on="conv_id", how="left_semi"
+        F.broadcast(touched) if broadcast_touched else touched,
+        on="conv_id",
+        how="left_semi",
     )
     feats = feats_of(history)
-    fe = replace_groups_snapshot(feats, features_table, ("conv_id",))
+    if bucketed:
+        fe = replace_groups_partitioned(
+            feats.withColumn("__bucket", bucket_of),
+            features_table,
+            ("conv_id",),
+            "__bucket",
+        )
+    else:
+        fe = replace_groups_snapshot(feats, features_table, ("conv_id",))
     return {
         "initialized": False,
         "touched_convs": touched.count(),

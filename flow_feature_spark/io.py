@@ -406,12 +406,59 @@ def _write_log(spark: SparkSession, table_path: str, entries: list[dict]) -> Non
         raise IOError(f"snapshot log commit failed: rename returned false")
 
 
-def _entry_dirs(entry: dict) -> list[str] | None:
-    """The data directories composing an entry's state, or None if expired.
-    Pre-``dirs`` log entries carry only ``dir``."""
+def _raw_dirs(entry: dict) -> list | None:
+    """The entry's ``dirs`` value as stored (strings, or dicts with
+    per-directory partition exclusions), or None if expired. Pre-``dirs``
+    log entries carry only ``dir``."""
     if entry.get("dirs") is not None:
         return entry["dirs"]
     return [entry["dir"]] if entry.get("dir") else None
+
+
+def _norm_dirs(entry: dict) -> list[dict] | None:
+    """``dirs`` normalized to [{"dir": name, "exclude": [values]}]. A plain
+    string dir (every operation except replace_partitioned) has no
+    exclusions."""
+    raw = _raw_dirs(entry)
+    if raw is None:
+        return None
+    return [
+        d if isinstance(d, dict) else {"dir": d, "exclude": []} for d in raw
+    ]
+
+
+def _entry_dirs(entry: dict) -> list[str] | None:
+    """Just the directory NAMES composing an entry's state (for liveness /
+    reclaim bookkeeping), or None if expired."""
+    nd = _norm_dirs(entry)
+    return None if nd is None else [d["dir"] for d in nd]
+
+
+def _read_entry(spark: SparkSession, table_path: str, entry: dict) -> DataFrame:
+    """Materialize one log entry's state. Fast path: one multi-path parquet
+    read. When the entry carries partition exclusions (a bounded replace
+    shadowed some of an older directory's partitions), each directory is
+    read separately with its exclusion filter — the filter is on the hive
+    partition column, so Spark prunes the shadowed subdirectories instead
+    of scanning them."""
+    ndirs = _norm_dirs(entry)
+    if ndirs is None:
+        raise KeyError(
+            f"snapshot {entry['snapshot_id']} was expired; its data is gone"
+        )
+    base = table_path.rstrip("/")
+    excl_col = entry.get("exclude_col")
+    if not excl_col or all(not d["exclude"] for d in ndirs):
+        return spark.read.parquet(*[f"{base}/{d['dir']}" for d in ndirs])
+    from pyspark.sql import functions as F
+
+    out = None
+    for d in ndirs:
+        df = spark.read.parquet(f"{base}/{d['dir']}")
+        if d["exclude"]:
+            df = df.filter(~F.col(excl_col).isin(d["exclude"]))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def write_snapshot(
@@ -437,11 +484,12 @@ def write_snapshot(
         raise ValueError(f"unknown snapshot operation {operation!r}")
     spark = df.sparkSession
     log = _read_log(spark, table_path)
-    parent_dirs: list[str] = []
+    parent_dirs: list = []
     state_rows_base = 0
+    exclude_col = None
     if operation == "append" and log:
         parent = log[-1]
-        pdirs = _entry_dirs(parent)
+        pdirs = _raw_dirs(parent)
         if pdirs is None:
             raise KeyError(
                 f"cannot append: parent snapshot {parent['snapshot_id']} is expired"
@@ -453,6 +501,9 @@ def write_snapshot(
             )
         parent_dirs = list(pdirs)
         state_rows_base = int(parent.get("state_rows", parent["rows"]))
+        # a parent shaped by bounded replaces carries partition exclusions;
+        # the composed state keeps them (and the reader must apply them)
+        exclude_col = parent.get("exclude_col")
     snap_id = len(log) + 1
     snap_dir = f"{table_path.rstrip('/')}/snap-{snap_id:06d}"
     from pyspark.sql import Observation
@@ -473,6 +524,8 @@ def write_snapshot(
         "job": job,
         "rows": rows,
         "state_rows": state_rows_base + rows,
+        "partition_cols": list(partition_cols) if partition_cols else [],
+        "exclude_col": exclude_col,
         "schema": df.schema.jsonValue(),
         "input_fingerprint": input_fingerprint,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -514,13 +567,7 @@ def read_snapshot(
         entry = eligible[-1]
     else:
         entry = log[-1]
-    dirs = _entry_dirs(entry)
-    if not dirs:
-        raise KeyError(
-            f"snapshot {entry['snapshot_id']} was expired; its data is gone"
-        )
-    base = table_path.rstrip("/")
-    return spark.read.parquet(*[f"{base}/{d}" for d in dirs])
+    return _read_entry(spark, table_path, entry)
 
 
 def rollback_snapshot(
@@ -542,7 +589,7 @@ def rollback_snapshot(
         snapshot_id=len(log) + 1,
         parent_id=log[-1]["snapshot_id"],
         dir=None,  # a rollback writes no data of its own
-        dirs=_entry_dirs(src),
+        dirs=_raw_dirs(src),  # raw: partition exclusions must survive
         operation=f"rollback_to_{snapshot_id}",
         committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         committed_at_unix=int(time.time()),
@@ -694,6 +741,117 @@ def replace_groups_snapshot(
         operation="merge",
         partition_cols=partition_cols,
     )
+
+
+def replace_groups_partitioned(
+    updates: DataFrame,
+    table_path: str,
+    group_cols: tuple[str, ...],
+    partition_col: str,
+    job: str = "",
+) -> dict:
+    """Partition-bounded group replace (Iceberg dynamic partition overwrite
+    composed with merge-on-read shadowing): like replace_groups_snapshot,
+    but the commit writes ONLY the hive partitions (buckets) the updates
+    touch — untouched buckets are not rewritten, they stay served by the
+    parent's directories. The new log entry records, per older directory,
+    which partition values it no longer serves; readers filter those out
+    (a partition-column filter, so the shadowed subdirectories are PRUNED,
+    not scanned).
+
+    This removes the full-table copy-on-write floor from incremental
+    maintenance: the rewrite cost is proportional to the touched buckets,
+    not the table (measured in BENCH/INCREMENTAL.md). The trade is
+    Iceberg's own MOR trade — read amplification grows with accumulated
+    replace commits (more directories per read); a periodic plain
+    replace_groups_snapshot/overwrite is the compaction that resets the
+    composition to one directory.
+
+    Requirements: the table's current state must be partitioned by exactly
+    ``partition_col`` (write the initial snapshot with
+    ``partition_cols=(partition_col,)``), and ``updates`` must carry that
+    column with values consistent with the group key (every row of a group
+    in one bucket — e.g. bucket = hash(key) % N). Use an INT bucket column:
+    hive partition-value inference types it back as int on read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
+    log = _read_log(spark, table_path)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log at {table_path}")
+    parent = log[-1]
+    ndirs = _norm_dirs(parent)
+    if ndirs is None:
+        raise KeyError(
+            f"cannot replace: snapshot {parent['snapshot_id']} is expired"
+        )
+    if parent.get("partition_cols") != [partition_col]:
+        raise ValueError(
+            f"bounded replace requires the table partitioned by "
+            f"[{partition_col!r}]; parent has {parent.get('partition_cols')}"
+        )
+    if parent.get("exclude_col") not in (None, partition_col):
+        raise ValueError(
+            f"table already shadowed on {parent['exclude_col']!r}, "
+            f"cannot mix with {partition_col!r}"
+        )
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates lack partition column {partition_col!r}")
+    missing = [k for k in group_cols if k not in updates.columns]
+    if missing:
+        raise ValueError(f"group columns not in updates: {missing}")
+
+    touched_parts = sorted(
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    )
+    current = _read_entry(spark, table_path, parent)
+    if set(updates.columns) != set(current.columns):
+        raise ValueError(
+            f"replace schema mismatch: updates {sorted(updates.columns)} "
+            f"vs table {sorted(current.columns)}"
+        )
+    cur_touched = current.filter(F.col(partition_col).isin(touched_parts))
+    replaced_rows = cur_touched.count()  # partition-pruned job
+    touched_keys = updates.select(*group_cols).distinct()
+    kept = cur_touched.join(touched_keys, on=list(group_cols), how="left_anti")
+
+    snap_id = len(log) + 1
+    own = f"snap-{snap_id:06d}"
+    obs = Observation()
+    (
+        kept.unionByName(updates.select(*current.columns))
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("errorifexists")
+        .partitionBy(partition_col)
+        .parquet(f"{table_path.rstrip('/')}/{own}")
+    )
+    rows = int(obs.get["rows"])
+    new_dirs = [
+        {"dir": d["dir"], "exclude": sorted(set(d["exclude"]) | set(touched_parts))}
+        for d in ndirs
+    ] + [own]
+    state_rows = int(parent.get("state_rows", parent["rows"])) - replaced_rows + rows
+    entry = {
+        "snapshot_id": snap_id,
+        "parent_id": parent["snapshot_id"],
+        "dir": own,
+        "dirs": new_dirs,
+        "operation": "replace_partitioned",
+        "job": job,
+        "rows": rows,
+        "state_rows": state_rows,
+        "partition_cols": [partition_col],
+        "exclude_col": partition_col,
+        "replaced_partitions": touched_parts,
+        "schema": parent["schema"],
+        "input_fingerprint": "",
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "committed_at_unix": int(time.time()),
+        "metrics": None,
+    }
+    _write_log(spark, table_path, log + [entry])
+    return entry
 
 
 def snapshot_changes(

@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--features-table",
                    help="--mode incremental: snapshot table holding the "
                    "maintained per-session feature vectors")
+    p.add_argument("--feature-buckets", type=int, default=None,
+                   help="--mode incremental: hash-bucket the feature table "
+                   "into N hive partitions and rewrite only touched buckets "
+                   "(partition-bounded replace)")
+    p.add_argument("--feature-bucket-expr", default=None,
+                   help="--mode incremental: SQL bucket expression over "
+                   "conv_id (cohort/range locality) instead of the hash "
+                   "bucket; every row of a conv must land in one stable "
+                   "bucket")
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument(
@@ -292,6 +301,8 @@ def run(argv: list[str] | None = None) -> int:
             delta, args.turns_table, args.features_table,
             gap_seconds=args.gap_seconds, rounding=args.rounding,
             reset_tool=args.reset_tool,
+            feature_buckets=args.feature_buckets,
+            feature_bucket_expr=args.feature_bucket_expr,
         )
         print(
             f"incremental update: initialized={stats['initialized']} "

@@ -158,3 +158,86 @@ def test_replace_groups_snapshot(spark, tmp_path):
         raise AssertionError("bad group col must fail")
     except ValueError:
         pass
+
+
+def test_incremental_bucketed_equals_full(spark, tmp_path):
+    """feature_buckets=N: the maintained table (hive-partitioned by a conv
+    hash bucket, updated via partition-bounded replace) still equals the
+    full recompute — and the update commit writes only the touched buckets,
+    not the table."""
+    from flow_feature_spark.io import snapshot_history
+
+    rows = _rand_rows(n_convs=40, turns_per_conv=20, seed=11)
+    cuts = sorted(r[2] for r in rows)
+    c1 = cuts[len(cuts) // 2]
+    b1 = [r for r in rows if r[2] <= c1]
+    b2 = [r for r in rows if r[2] > c1]
+    tt, ft = str(tmp_path / "turns"), str(tmp_path / "feats")
+    incremental_feature_update(_mk_turns(spark, b1), tt, ft, 5.0, feature_buckets=8)
+    st = incremental_feature_update(
+        _mk_turns(spark, b2), tt, ft, 5.0, feature_buckets=8
+    )
+    got = sorted(
+        map(tuple, read_snapshot(spark, ft).drop("__bucket").collect())
+    )
+    assert got == _full(spark, rows, 5.0)
+    e = snapshot_history(spark, ft)[-1]
+    assert e["operation"] == "replace_partitioned"
+    assert e["exclude_col"] == "__bucket"
+    assert len(e["replaced_partitions"]) <= 8
+    assert st["feature_rows"] == e["rows"]
+    # time travel to the pre-update state still reads clean
+    assert read_snapshot(spark, ft, snapshot_id=1).count() > 0
+
+
+def test_replace_groups_partitioned_unit(spark, tmp_path):
+    """Bounded replace: only touched buckets rewritten; exclusions
+    accumulate across commits; shrinking groups; walls for unpartitioned
+    parents and missing bucket column."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.io import replace_groups_partitioned, snapshot_history
+
+    tp = str(tmp_path / "p")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "g string, v int, b int"
+    )
+    write_snapshot(
+        mk([("a", 1, 0), ("a", 2, 0), ("b", 3, 1), ("c", 4, 2)]),
+        tp,
+        partition_cols=("b",),
+    )
+    # replace group a (bucket 0): 2 rows -> 1; buckets 1,2 untouched
+    e = replace_groups_partitioned(mk([("a", 9, 0)]), tp, ("g",), "b")
+    assert e["replaced_partitions"] == [0] and e["rows"] == 1
+    got = sorted(map(tuple, read_snapshot(spark, tp).collect()))
+    assert got == [("a", 9, 0), ("b", 3, 1), ("c", 4, 2)]
+    # second replace in bucket 1: exclusions accumulate per directory
+    replace_groups_partitioned(mk([("b", 8, 1), ("d", 7, 1)]), tp, ("g",), "b")
+    got = sorted(map(tuple, read_snapshot(spark, tp).collect()))
+    assert got == [("a", 9, 0), ("b", 8, 1), ("c", 4, 2), ("d", 7, 1)]
+    log = snapshot_history(spark, tp)
+    assert log[-1]["dirs"][0]["exclude"] == [0, 1]   # snap 1 shadowed twice
+    assert log[-1]["dirs"][1]["exclude"] == [1]      # snap 2 shadowed once
+    assert log[-1]["state_rows"] == 4
+    # pre-replace states remain exactly readable (time travel)
+    assert read_snapshot(spark, tp, snapshot_id=1).count() == 4
+    assert sorted(
+        map(tuple, read_snapshot(spark, tp, snapshot_id=2).collect())
+    ) == [("a", 9, 0), ("b", 3, 1), ("c", 4, 2)]
+
+    # walls
+    flat = str(tmp_path / "flat")
+    write_snapshot(mk([("a", 1, 0)]), flat)  # not partitioned
+    try:
+        replace_groups_partitioned(mk([("a", 2, 0)]), flat, ("g",), "b")
+        raise AssertionError("unpartitioned parent must fail")
+    except ValueError as ex:
+        assert "partitioned by" in str(ex)
+    try:
+        replace_groups_partitioned(
+            mk([("a", 2, 0)]).drop("b"), tp, ("g",), "b"
+        )
+        raise AssertionError("missing bucket column must fail")
+    except ValueError:
+        pass
