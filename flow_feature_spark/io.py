@@ -448,16 +448,25 @@ def _read_entry(spark: SparkSession, table_path: str, entry: dict) -> DataFrame:
         )
     base = table_path.rstrip("/")
     excl_col = entry.get("exclude_col")
+    # an evolved composition spans directories with different (add-only)
+    # schemas: parquet schema merging surfaces missing columns as NULL
+    rd = spark.read
+    if entry.get("schema_evolved"):
+        rd = rd.option("mergeSchema", "true")
     if not excl_col or all(not d["exclude"] for d in ndirs):
-        return spark.read.parquet(*[f"{base}/{d['dir']}" for d in ndirs])
+        return rd.parquet(*[f"{base}/{d['dir']}" for d in ndirs])
     from pyspark.sql import functions as F
 
     out = None
     for d in ndirs:
-        df = spark.read.parquet(f"{base}/{d['dir']}")
+        df = rd.parquet(f"{base}/{d['dir']}")
         if d["exclude"]:
             df = df.filter(~F.col(excl_col).isin(d["exclude"]))
-        out = df if out is None else out.unionByName(df)
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
     return out
 
 
@@ -469,6 +478,7 @@ def write_snapshot(
     metrics: KernelMetrics | None = None,
     partition_cols: tuple[str, ...] | None = None,
     operation: str = "overwrite",
+    allow_new_columns: bool = False,
 ) -> dict:
     """Commit df as a NEW immutable snapshot of the table; returns the log
     entry. Readers of earlier snapshot ids are unaffected (their data dirs
@@ -478,7 +488,12 @@ def write_snapshot(
     ``operation="append"`` commits ONLY the delta directory and composes the
     new state as parent dirs + delta (Iceberg fast-append): a daily ingest
     into a 100-TB table writes the day's data, never rewrites the table.
-    Appends require the parent's exact schema.
+    Appends require the parent's exact schema unless ``allow_new_columns``
+    (Iceberg add-column schema evolution): the delta may ADD columns — the
+    parent's columns must keep their exact types/order — and readers merge
+    parquet schemas across directories, so pre-evolution rows surface the
+    new columns as NULL without any rewrite. Dropping or retyping a column
+    stays an overwrite.
     """
     if operation not in ("overwrite", "append", "merge"):
         raise ValueError(f"unknown snapshot operation {operation!r}")
@@ -487,6 +502,7 @@ def write_snapshot(
     parent_dirs: list = []
     state_rows_base = 0
     exclude_col = None
+    schema_evolved = False
     if operation == "append" and log:
         parent = log[-1]
         pdirs = _raw_dirs(parent)
@@ -494,7 +510,16 @@ def write_snapshot(
             raise KeyError(
                 f"cannot append: parent snapshot {parent['snapshot_id']} is expired"
             )
-        if parent["schema"] != df.schema.jsonValue():
+        if allow_new_columns:
+            pfields = parent["schema"].get("fields", [])
+            dfields = df.schema.jsonValue().get("fields", [])
+            if dfields[: len(pfields)] != pfields:
+                raise ValueError(
+                    "schema evolution may only ADD columns after the "
+                    "parent's (which must keep exact name/type/order); "
+                    "commit an overwrite to drop or retype"
+                )
+        elif parent["schema"] != df.schema.jsonValue():
             raise ValueError(
                 "append requires the parent snapshot's exact schema; "
                 "commit an overwrite to change schema"
@@ -504,6 +529,9 @@ def write_snapshot(
         # a parent shaped by bounded replaces carries partition exclusions;
         # the composed state keeps them (and the reader must apply them)
         exclude_col = parent.get("exclude_col")
+        schema_evolved = bool(parent.get("schema_evolved")) or (
+            allow_new_columns and parent["schema"] != df.schema.jsonValue()
+        )
     snap_id = len(log) + 1
     snap_dir = f"{table_path.rstrip('/')}/snap-{snap_id:06d}"
     from pyspark.sql import Observation
@@ -526,6 +554,7 @@ def write_snapshot(
         "state_rows": state_rows_base + rows,
         "partition_cols": list(partition_cols) if partition_cols else [],
         "exclude_col": exclude_col,
+        "schema_evolved": schema_evolved,
         "schema": df.schema.jsonValue(),
         "input_fingerprint": input_fingerprint,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -844,6 +873,7 @@ def replace_groups_partitioned(
         "partition_cols": [partition_col],
         "exclude_col": partition_col,
         "replaced_partitions": touched_parts,
+        "schema_evolved": bool(parent.get("schema_evolved")),
         "schema": parent["schema"],
         "input_fingerprint": "",
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

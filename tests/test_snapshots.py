@@ -212,3 +212,43 @@ def test_snapshot_changes_full_row_diff(spark, tmp_path):
         ("insert", "b", 99),
         ("insert", "c", 3),
     ]
+
+
+def test_snapshot_append_schema_evolution(spark, tmp_path):
+    """allow_new_columns: an append may ADD columns; pre-evolution rows
+    surface them as NULL via parquet schema merging, no rewrite. Drops and
+    retypes stay rejected."""
+    tp = str(tmp_path / "etbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), tp
+    )
+    # adding a column without the flag still fails
+    evolved = spark.createDataFrame(
+        [(3, "c", 9.5)], "id int, v string, score double"
+    )
+    try:
+        write_snapshot(evolved, tp, operation="append")
+        raise AssertionError("schema drift without the flag must fail")
+    except ValueError:
+        pass
+    e = write_snapshot(evolved, tp, operation="append", allow_new_columns=True)
+    assert e["schema_evolved"] is True
+    got = {r["id"]: (r["v"], r["score"]) for r in read_snapshot(spark, tp).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # old snapshots read with their own schema
+    assert "score" not in read_snapshot(spark, tp, snapshot_id=1).columns
+    # further appends must carry the evolved schema onward
+    e2 = write_snapshot(
+        spark.createDataFrame([(4, "d", 1.0)], "id int, v string, score double"),
+        tp, operation="append", allow_new_columns=True,
+    )
+    assert e2["schema_evolved"] is True and e2["state_rows"] == 4
+    # reordering / retyping the parent prefix is rejected
+    try:
+        write_snapshot(
+            spark.createDataFrame([(5.0, "e", 1.0)], "id double, v string, score double"),
+            tp, operation="append", allow_new_columns=True,
+        )
+        raise AssertionError("retyping a parent column must fail")
+    except ValueError:
+        pass
