@@ -816,6 +816,43 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + zone-map file skipping (layout.zorder_table /
+    read_pruned): rewrite the events projection clustered on the z-curve of
+    (user_id, value), collect per-file min/max zone maps, then answer a 2-d
+    box predicate opening ONLY the files whose zones intersect — the scan
+    raises if nothing was skipped, so a green row proves manifest-level
+    pruning, and the result must equal the plain filter+aggregate oracle
+    (layout never changes results). Reference basis: get_flow_feature.py:27
+    reads whole capture files; this is the columnar file-skipping
+    replacement."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.layout import read_pruned, zorder_table
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select("event_id", "user_id", "event_type", "value")
+    tp = tempfile.mkdtemp(prefix="ffs_zorder_") + "/tbl"
+    try:
+        zorder_table(base, tp, ["user_id", "value"], n_files=16)
+        pruned, report = read_pruned(
+            spark, tp, {"user_id": (10, 30), "value": (50.0, 300.0)}
+        )
+        if report.skipped_files == 0:
+            raise AssertionError(
+                f"zone-map pruning skipped nothing: {report}"
+            )
+        out = pruned.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sv"),
+        )
+        return _collect_frozen(out)
+    finally:
+        shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
+
+
 def q_incremental_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental feature maintenance (incremental.incremental_feature_update):
     turns split at the 60th ts_us percentile; batch 1 initializes the
@@ -1066,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
+        "zorder_scan": q_zorder_scan,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
@@ -1184,6 +1222,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT event_type, n, sv, 'delete' AS change_type FROM "
             "(SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"
+        ),
+        # layout never changes results: the z-ordered, zone-map-pruned scan
+        # must equal the plain filter+aggregate
+        "zorder_scan": (
+            "SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(cast(floor(value) AS bigint)) AS bigint) AS sv "
+            "FROM events WHERE user_id BETWEEN 10 AND 30 "
+            "AND value BETWEEN 50.0 AND 300.0 GROUP BY event_type"
         ),
         # quality gate: each constraint's count recomputed as CASE-sums /
         # count-distinct in one pass; detail strings are literal contract
