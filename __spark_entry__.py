@@ -816,6 +816,48 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store training-set builder (featurestore.build_training_set):
+    TWO independently-cadenced feature groups — per-session vectors
+    (available at session end) and per-conversation DAILY aggregates
+    (available at the day's last turn) — attached point-in-time to the
+    shared probe set with zero leakage (strict: a feature AT the probe's
+    own ts is invisible), probe rows never dropping. Oracle: DuckDB native
+    chained ASOF LEFT JOIN, a genuinely independent implementation."""
+    from flow_feature_spark.featurestore import FeatureGroup, build_training_set
+
+    feats = _session_feature_payload(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir)
+    day = (
+        turns.groupBy(
+            "conv_id",
+            F.floor(F.col("ts_us") / F.lit(86400000000.0))
+            .cast("bigint")
+            .alias("__day"),
+        )
+        .agg(
+            F.max("ts_us").alias("avail_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_day"),
+            F.sum("win").cast("bigint").alias("win_day"),
+        )
+        .select(
+            "conv_id",
+            F.timestamp_micros(F.col("avail_us")).alias("feature_ts"),
+            "n_day",
+            "win_day",
+        )
+    )
+    out = build_training_set(
+        _probes(spark, sf_dir),
+        {"sess": FeatureGroup(feats), "day": FeatureGroup(day)},
+    )
+    return out.select(
+        "entity_id", "probe_ts",
+        "sess__session_id", "sess__n_turns", "sess__duration",
+        "sess__dpl_total_i", "day__n_day", "day__win_day",
+    )
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + zone-map file skipping (layout.zorder_table /
     read_pruned): rewrite the events projection clustered on the z-curve of
@@ -1104,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "zorder_scan": q_zorder_scan,
+        "training_set": q_training_set,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
@@ -1223,6 +1266,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n, sv, 'delete' AS change_type FROM "
             "(SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"
         ),
+        # feature-store training set: DuckDB native chained ASOF JOIN is the
+        # independent oracle for the carry-through union-window builder
+        "training_set": OQ.training_set_sql(d),
         # layout never changes results: the z-ordered, zone-map-pruned scan
         # must equal the plain filter+aggregate
         "zorder_scan": (

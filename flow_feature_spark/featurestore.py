@@ -1,0 +1,141 @@
+"""Training-set builder: multi-feature-group point-in-time join.
+
+The feature-store user journey (Feast/Tecton ``get_historical_features``):
+given a probe frame of (entity, timestamp, ...labels) and N feature GROUPS
+— each an independent table of (entity, feature_ts, values...) computed on
+its own cadence — attach to every probe, for every group, the latest
+feature row the probe could have seen, with zero temporal leakage, and
+prefix each group's value columns with its name.
+
+Built on the engine's union-and-window as-of (asof.py:72 — the JVM-only
+scale path: no Python crossing, ONE exchange per group, map-side
+union), extended to CARRY the probe's payload columns through each pass
+so labels and previously-attached groups survive. N groups = N window
+passes = N shuffles of the probe frame — the same cost shape a feature
+store pays, and each pass is skew-safe (entity hash partitioning).
+
+Leakage contract (north_rule "zero temporal leakage at every
+entity×timestamp"): ``strict=True`` (default) attaches only features with
+feature_ts strictly BEFORE the probe ts — at equal timestamps the probe
+sorts before the feature row and cannot see it. ``tolerance_seconds``
+additionally voids features staler than the bound (NULL, not a join drop:
+the probe row always survives).
+
+Reference basis: flow-feature emits one feature vector per flow at
+extraction time (get_flow_feature.py:118-141); the point-in-time builder
+is what a TRAINING pipeline needs instead — the vector as-of each label's
+timestamp, per entity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flow_feature_spark.asof import _tol_us
+
+
+@dataclass
+class FeatureGroup:
+    """One feature table: ``df`` holds ``entity_col``, ``ts_col`` (the
+    availability timestamp — when the vector became visible), and value
+    columns (everything else)."""
+
+    df: DataFrame
+    entity_col: str = "conv_id"
+    ts_col: str = "feature_ts"
+    tolerance_seconds: float | None = None
+    strict: bool = True
+
+
+def _attach_group(
+    probes: DataFrame,
+    name: str,
+    g: FeatureGroup,
+    probe_entity: str,
+    probe_ts: str,
+) -> DataFrame:
+    vals = [c for c in g.df.columns if c not in (g.entity_col, g.ts_col)]
+    if not vals:
+        raise ValueError(f"feature group {name!r} has no value columns")
+    out_cols = [f"{name}__{c}" for c in vals]
+    clash = set(out_cols) & set(probes.columns)
+    if clash:
+        raise ValueError(
+            f"feature group {name!r} would overwrite probe columns {sorted(clash)}"
+        )
+    tol_us = _tol_us(g.tolerance_seconds)
+    probe_side, feat_side = (0, 1) if g.strict else (1, 0)
+    carried = [c for c in probes.columns if c != probe_entity]
+
+    f = g.df.select(
+        F.col(g.entity_col).cast("string").alias("__ent"),
+        F.unix_micros(F.col(g.ts_col).cast("timestamp")).alias("__t_us"),
+        F.lit(feat_side).alias("__side"),
+        F.struct(
+            F.unix_micros(F.col(g.ts_col).cast("timestamp")).alias("__ft_us"),
+            *[F.col(c) for c in vals],
+        ).alias("__payload"),
+        *[
+            F.lit(None).cast(probes.schema[c].dataType).alias(c)
+            for c in carried
+        ],
+    )
+    p = probes.select(
+        F.col(probe_entity).cast("string").alias("__ent"),
+        F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
+        F.lit(probe_side).alias("__side"),
+        F.lit(None).cast(f.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in carried],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__ent")
+        .orderBy("__t_us", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        f.unionByName(p)
+        .withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == probe_side)
+    )
+    if tol_us is not None:
+        fresh = F.col("__last").isNotNull() & (
+            (F.col("__t_us") - F.col("__last").getField("__ft_us")) <= tol_us
+        )
+        joined = joined.withColumn("__last", F.when(fresh, F.col("__last")))
+    return joined.select(
+        F.col("__ent").alias(probe_entity),
+        *[F.col(c) for c in carried],
+        *[
+            F.col("__last").getField(c).alias(o)
+            for c, o in zip(vals, out_cols)
+        ],
+    )
+
+
+def build_training_set(
+    probes: DataFrame,
+    feature_groups: dict[str, FeatureGroup],
+    probe_entity: str = "entity_id",
+    probe_ts: str = "probe_ts",
+) -> DataFrame:
+    """Attach every feature group point-in-time to every probe row.
+
+    Returns the probe frame (all its columns preserved, row-for-row — a
+    probe with no visible features gets NULLs, never drops) plus
+    ``{group}__{value}`` columns for each group. Groups attach
+    independently — order of ``feature_groups`` does not affect values,
+    only column order."""
+    if probe_entity not in probes.columns or probe_ts not in probes.columns:
+        raise KeyError(
+            f"probes must carry {probe_entity!r} and {probe_ts!r}; "
+            f"have {probes.columns}"
+        )
+    out = probes
+    for name, g in feature_groups.items():
+        out = _attach_group(out, name, g, probe_entity, probe_ts)
+    return out

@@ -692,6 +692,40 @@ FROM events
 """
 
 
+def training_set_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """Feature-store training-set oracle: two independent feature groups
+    attached point-in-time to the shared probe set — session features
+    (feats_cte, available at session end) and per-conversation DAILY
+    aggregates (available at the day's last turn). DuckDB's native chained
+    ASOF LEFT JOIN (strict >) is the independent implementation the
+    engine's carry-through union-and-window builder
+    (featurestore.build_training_set) is graded against."""
+    assert dialect == "duckdb", "oracle-only SQL; the engine side is the API"
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}, {probes_cte()},
+dayfeats AS (
+  SELECT conv_id,
+         max(ts_us)                AS avail_us,
+         cast(count(*) AS bigint)  AS n_day,
+         cast(sum(win) AS bigint)  AS win_day
+  FROM turns
+  GROUP BY conv_id, cast(floor(ts_us / 86400000000.0) AS bigint)
+)
+SELECT p.entity_id, p.probe_ts,
+       f.session_id   AS sess__session_id,
+       f.n_turns      AS sess__n_turns,
+       f.duration     AS sess__duration,
+       f.dpl_total_i  AS sess__dpl_total_i,
+       d.n_day        AS day__n_day,
+       d.win_day      AS day__win_day
+FROM probes p
+ASOF LEFT JOIN feats f
+  ON p.entity_id = f.conv_id AND {_epoch_us(dialect, 'p.probe_ts')} > f.feat_us
+ASOF LEFT JOIN dayfeats d
+  ON p.entity_id = d.conv_id AND {_epoch_us(dialect, 'p.probe_ts')} > d.avail_us
+"""
+
+
 def asof_running_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
     """J1 x W6: attach the latest PER-TURN running vector (not just the
     session-final one) to every probe — the north rule's point-in-time
