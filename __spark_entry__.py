@@ -858,6 +858,32 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_future_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label generation, the forward dual of the feature attach
+    (featurestore.attach_future_labels): per turn, count and win-sum of
+    the conversation's turns in the strict-future window (ts, ts+12h] —
+    a value-based RANGE frame starting at 1 FOLLOWING, so the row's own
+    microsecond never leaks into its label. One window pass, one exchange."""
+    from flow_feature_spark.featurestore import attach_future_labels
+
+    turns = _events_turns(spark, sf_dir)
+    out = attach_future_labels(
+        turns, horizon_seconds=OQ.SESSION_GAP_S, value_col="win"
+    )
+    return out.select("conv_id", "turn_idx", "label_n", "label_sum")
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf terms (ops/text.tfidf_topk) over the
+    documents table, rational idf (tf·N/df in pinned double-op order —
+    bit-identical cross-engine; the ln-idf variant is engine-only since
+    transcendentals are not cross-engine bit-stable)."""
+    from flow_feature_spark.ops.text import tfidf_topk
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5)
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + zone-map file skipping (layout.zorder_table /
     read_pruned): rewrite the events projection clustered on the z-curve of
@@ -1147,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "zorder_scan": q_zorder_scan,
         "training_set": q_training_set,
+        "future_labels": q_future_labels,
+        "tfidf_topk": q_tfidf_topk,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
@@ -1269,6 +1297,10 @@ def oracle_sql() -> dict[str, str]:
         # feature-store training set: DuckDB native chained ASOF JOIN is the
         # independent oracle for the carry-through union-window builder
         "training_set": OQ.training_set_sql(d),
+        # strict-future RANGE-frame labels; identical template both dialects
+        "future_labels": OQ.future_labels_sql(d),
+        # rational tf-idf (pinned double-op order; ln-idf is engine-only)
+        "tfidf_topk": OD.tfidf_sql(d),
         # layout never changes results: the z-ordered, zone-map-pruned scan
         # must equal the plain filter+aggregate
         "zorder_scan": (

@@ -139,3 +139,44 @@ def build_training_set(
     for name, g in feature_groups.items():
         out = _attach_group(out, name, g, probe_entity, probe_ts)
     return out
+
+
+def attach_future_labels(
+    df: DataFrame,
+    horizon_seconds: float,
+    entity_col: str = "conv_id",
+    ts_us_col: str = "ts_us",
+    value_col: str | None = None,
+    prefix: str = "label",
+) -> DataFrame:
+    """Label generation, the forward dual of the feature attach: for every
+    row, aggregate the entity's rows in the half-open future window
+    (ts, ts + horizon] — ``{prefix}_n`` (count) and, with ``value_col``,
+    ``{prefix}_sum``. The frame is a RANGE frame on int64 microseconds
+    starting at 1 FOLLOWING, so the row's own events — and any other event
+    at the SAME microsecond — are excluded: a label may only contain the
+    strict future, the mirror of the feature side's strict past
+    (north_rule zero-leakage, label direction).
+
+    One window pass, one exchange on the entity key; value-based RANGE
+    frames are JVM codegen (no Python). Empty windows yield label_n = 0
+    and label_sum = 0 (coalesced identically in the SQL oracle)."""
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    horizon_us = int(round(horizon_seconds * 1_000_000))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_us_col).cast("long"))
+        .rangeBetween(1, horizon_us)
+    )
+    out = df.withColumn(
+        f"{prefix}_n", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            f"{prefix}_sum",
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
+        )
+    return out

@@ -136,6 +136,68 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf: (doc_id, token, tf, df,
+    score, rank). Default idf is the RATIONAL form tf·N/df — cast to
+    double in a pinned order ((tf·N)/df), so both engines produce
+    bit-identical scores (ln is transcendental: Spark's Math.log and
+    DuckDB's std::log may differ in the last ulp, which flips ranks at
+    ties — the classic ``log_idf=True`` form tf·ln(N/df) stays
+    engine-side only, never an oracle).
+
+    Shape at scale: tokenization is map-side; tf = one (doc, token) hash
+    aggregate; document frequency = one aggregate of the tf table (already
+    one row per doc×token, so count(*) per token IS the df); N broadcasts
+    as a literal 1-row frame; the df join is token-keyed (broadcast-able
+    while the vocabulary fits, AQE skew-split otherwise — stopword tokens
+    are the hot keys); top-k ranks within each doc, partitioned by doc id.
+    Ties break on the token string, keeping the cut deterministic."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    tf = (
+        df.select(F.col(id_col), tok)
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    if log_idf:
+        raw = F.col("tf").cast("double") * F.log(
+            F.col("n_docs").cast("double") / F.col("df").cast("double")
+        )
+    else:
+        raw = (
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double")
+        )
+    scored = scored.withColumn("score", _r6(raw))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
+
+
 def token_vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
     """Corpus-level token frequency table, top-``top_n`` by count (the
     classic vocabulary-building pass of a BPE/tokenizer pipeline).

@@ -638,6 +638,40 @@ FROM (
 """
 
 
+def tfidf_sql(dialect: str, k: int = 5) -> str:
+    """ops/text.tfidf_topk oracle: per-doc top-k terms by the RATIONAL
+    tf-idf score r6((tf·N)/df) — the same pinned double-op order as the
+    engine, so scores are bit-identical (the ln-idf variant is engine-only;
+    transcendentals are not cross-engine bit-stable)."""
+    norm = _norm(dialect)
+    if dialect == "spark":
+        tok = f"explode(split({norm}, ' '))"
+    else:
+        tok = f"unnest(regexp_split_to_array({norm}, ' '))"
+    r6 = ("floor(cast(tf AS double) * cast(n_docs AS double) "
+          "/ cast(df AS double) * 1e6 + 0.5) / 1e6")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, cast(count(*) AS bigint) AS tf
+  FROM (SELECT doc_id, {tok} AS token FROM documents) t
+  WHERE token <> ''
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, cast(count(*) AS bigint) AS df FROM tf GROUP BY token
+),
+nd AS (SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score, rank
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ({r6}) AS score,
+         cast(row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY ({r6}) DESC, tf.token) AS int) AS rank
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN nd
+) s WHERE rank <= {k}
+"""
+
+
 def dedup_clusters_sql(dialect: str) -> str:
     """ops/cluster.dedup_clusters oracle: connected components of the
     simhash near-dup pair graph via recursive transitive closure — min

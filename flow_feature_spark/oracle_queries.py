@@ -726,6 +726,25 @@ ASOF LEFT JOIN dayfeats d
 """
 
 
+def future_labels_sql(dialect: str, horizon_us: int = GAP_US) -> str:
+    """featurestore.attach_future_labels oracle: per-turn strict-future
+    window aggregate (ts, ts+horizon] — count and win-sum of the
+    conversation's later turns. RANGE frame on int64 µs starting at
+    1 FOLLOWING: the row's own microsecond is excluded (labels contain
+    only the strict future), and rows sharing a microsecond see identical
+    frames, so duplicate timestamps stay deterministic. Identical template
+    text in both dialects — exact bigint domains, hash-exact."""
+    return f"""
+WITH {turns_cte(dialect)}
+SELECT conv_id, turn_idx,
+  cast(count(*) OVER w AS bigint)               AS label_n,
+  cast(coalesce(sum(win) OVER w, 0) AS bigint)  AS label_sum
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts_us
+             RANGE BETWEEN 1 FOLLOWING AND {horizon_us} FOLLOWING)
+"""
+
+
 def asof_running_vector_sql(dialect: str, gap_us: int = GAP_US) -> str:
     """J1 x W6: attach the latest PER-TURN running vector (not just the
     session-final one) to every probe — the north rule's point-in-time
