@@ -479,6 +479,7 @@ def write_snapshot(
     partition_cols: tuple[str, ...] | None = None,
     operation: str = "overwrite",
     allow_new_columns: bool = False,
+    stats_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Commit df as a NEW immutable snapshot of the table; returns the log
     entry. Readers of earlier snapshot ids are unaffected (their data dirs
@@ -543,6 +544,13 @@ def write_snapshot(
         w = w.partitionBy(*partition_cols)
     w.parquet(snap_dir)
     rows = int(obs.get["rows"])
+    if stats_cols:
+        # per-file zone maps into the directory's _zonemap.json sidecar
+        # (what Iceberg keeps in manifests); read_snapshot_pruned consumes
+        # them, plain readers ignore the underscore-prefixed file
+        from flow_feature_spark.layout import collect_file_stats
+
+        collect_file_stats(spark, snap_dir, list(stats_cols))
     entry = {
         "snapshot_id": snap_id,
         "parent_id": log[-1]["snapshot_id"] if log else None,
@@ -553,6 +561,7 @@ def write_snapshot(
         "rows": rows,
         "state_rows": state_rows_base + rows,
         "partition_cols": list(partition_cols) if partition_cols else [],
+        "stats_cols": list(stats_cols) if stats_cols else [],
         "exclude_col": exclude_col,
         "schema_evolved": schema_evolved,
         "schema": df.schema.jsonValue(),
@@ -597,6 +606,109 @@ def read_snapshot(
     else:
         entry = log[-1]
     return _read_entry(spark, table_path, entry)
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_path: str,
+    predicates: dict[str, tuple],
+    snapshot_id: int | None = None,
+    as_of_unix: int | None = None,
+) -> DataFrame:
+    """``read_snapshot`` with zone-map file skipping: each directory
+    composing the snapshot's state is pruned against its own
+    ``_zonemap.json`` sidecar (written by ``write_snapshot(stats_cols=…)``
+    — immutable alongside the data, so appends keep the parent's maps),
+    directories without a sidecar read fully, and the residual predicate
+    filter applies on top. Result == read_snapshot + filter, always; at
+    scale the win is opening only intersecting files per directory —
+    Iceberg's manifest pruning composed with the snapshot log."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.layout import prune_plan, read_zonemap
+
+    log = _read_log(spark, table_path)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log at {table_path}")
+    if snapshot_id is not None:
+        matches = [e for e in log if e["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"snapshot {snapshot_id} not in log")
+        entry = matches[0]
+    elif as_of_unix is not None:
+        eligible = [e for e in log if e["committed_at_unix"] <= as_of_unix]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {as_of_unix}")
+        entry = eligible[-1]
+    else:
+        entry = log[-1]
+    ndirs = _norm_dirs(entry)
+    if ndirs is None:
+        raise KeyError(
+            f"snapshot {entry['snapshot_id']} was expired; its data is gone"
+        )
+    base = table_path.rstrip("/")
+    excl_col = entry.get("exclude_col")
+    rd = spark.read
+    if entry.get("schema_evolved"):
+        rd = rd.option("mergeSchema", "true")
+    out = None
+    for d in ndirs:
+        dpath = f"{base}/{d['dir']}"
+        try:
+            zonemap = read_zonemap(spark, dpath)
+            kept, _ = prune_plan(zonemap, predicates)
+        except (FileNotFoundError, KeyError):
+            # no sidecar, or this directory's maps predate a predicate
+            # column (schema evolution): read fully, the residual filter
+            # below keeps the result correct
+            df = rd.parquet(dpath)
+        else:
+            if not kept:
+                continue
+            df = rd.parquet(*kept)
+        if excl_col and d["exclude"]:
+            df = df.filter(~F.col(excl_col).isin(d["exclude"]))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    if out is None:  # every file of every directory pruned
+        out = _read_entry(spark, table_path, entry).limit(0)
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            cond = cond & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(c) <= F.lit(hi))
+    return out.filter(cond)
+
+
+def vacuum_table(spark: SparkSession, table_path: str) -> dict:
+    """Delete ``snap-*`` directories no live log entry references — the
+    debris of failed commits (data written, log rename lost) and any
+    directory an earlier maintenance pass missed. The snapshot-layer
+    counterpart of Iceberg's ``remove_orphan_files``: ``expire_snapshots``
+    reclaims directories the LOG knows about; vacuum reclaims the ones it
+    doesn't. Refuses to run without a snapshot log (never deletes from a
+    directory this layer doesn't own)."""
+    log = _read_log(spark, table_path)
+    if not log:
+        raise FileNotFoundError(
+            f"no snapshot log at {table_path}; refusing to vacuum"
+        )
+    live: set[str] = set()
+    for e in log:
+        live.update(_entry_dirs(e) or [])
+    jvm = spark._jvm
+    fs, _ = _hadoop_fs(spark, table_path)
+    tpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    removed = []
+    for status in fs.listStatus(tpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("snap-") and name not in live:
+            fs.delete(status.getPath(), True)
+            removed.append(name)
+    return {"removed": sorted(removed), "live": sorted(live)}
 
 
 def rollback_snapshot(

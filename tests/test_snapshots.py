@@ -252,3 +252,71 @@ def test_snapshot_append_schema_evolution(spark, tmp_path):
         raise AssertionError("retyping a parent column must fail")
     except ValueError:
         pass
+
+
+def test_snapshot_zone_map_pruned_read(spark, tmp_path):
+    """write_snapshot(stats_cols=...) + read_snapshot_pruned: pruned ==
+    plain read + filter across overwrite, fast-append (per-dir sidecars),
+    and schema evolution (pre-evolution dirs read fully on new columns)."""
+    from flow_feature_spark.io import read_snapshot_pruned
+    from flow_feature_spark.layout import read_zonemap
+
+    tp = str(tmp_path / "zm")
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).alias("x")
+    ).repartition(4)
+    write_snapshot(base, tp, job="t", stats_cols=("x",))
+    zm = read_zonemap(spark, tp + "/snap-000001")
+    assert zm["columns"] == ["x"] and len(zm["files"]) == 4
+
+    delta = spark.range(1000, 1500).select(
+        F.col("id"), (F.col("id") % 100 + 200).alias("x")
+    ).repartition(2)
+    write_snapshot(delta, tp, job="t", operation="append", stats_cols=("x",))
+
+    pruned = read_snapshot_pruned(spark, tp, {"x": (210, 220)})
+    oracle = read_snapshot(spark, tp).filter(F.col("x").between(210, 220))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, oracle.collect())
+    )
+    # the base snapshot's x range is [0,99]: its files all prune
+    assert pruned.count() == oracle.count() > 0
+
+    # evolution: new column y; predicate on y must not mis-prune old dirs
+    evolved = spark.range(2000, 2100).select(
+        F.col("id"), (F.col("id") % 100).alias("x"),
+        (F.col("id") % 7).alias("y"),
+    )
+    write_snapshot(
+        evolved, tp, job="t", operation="append",
+        allow_new_columns=True, stats_cols=("x", "y"),
+    )
+    p2 = read_snapshot_pruned(spark, tp, {"y": (0, 3)})
+    o2 = read_snapshot(spark, tp).filter(F.col("y").between(0, 3))
+    assert sorted(r["id"] for r in p2.collect()) == sorted(
+        r["id"] for r in o2.collect()
+    )
+
+    # a box pruning EVERY file still returns an empty, well-typed frame
+    p3 = read_snapshot_pruned(spark, tp, {"x": (9_000, 9_999)})
+    assert p3.count() == 0 and "id" in p3.columns
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    from flow_feature_spark.io import vacuum_table
+
+    tp = str(tmp_path / "vac")
+    write_snapshot(spark.range(10), tp, job="t")
+    write_snapshot(spark.range(20), tp, job="t")
+    # simulate a failed commit: data directory exists, log never updated
+    spark.range(5).write.parquet(tp + "/snap-000099")
+    out = vacuum_table(spark, tp)
+    assert out["removed"] == ["snap-000099"]
+    assert set(out["live"]) == {"snap-000001", "snap-000002"}
+    # both committed snapshots still read
+    assert read_snapshot(spark, tp, snapshot_id=1).count() == 10
+    assert read_snapshot(spark, tp).count() == 20
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="refusing to vacuum"):
+        vacuum_table(spark, str(tmp_path / "not_a_table"))
