@@ -884,6 +884,21 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5)
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means (ops/kmeans.kmeans_fit): 3 Lloyd
+    iterations, k=8, over the embeddings table — an ITERATIVE algorithm
+    the hash gate grades exactly, because every quantity is in an exact
+    domain: int64-quantized vectors, integer distances with smallest-index
+    tie-break, content-addressed (md5) seeds, centroid means as integer
+    sums with one pinned double-op rounding. Oracle: the same 3 iterations
+    unrolled as DuckDB CTEs."""
+    from flow_feature_spark.ops.kmeans import centroids_frame, kmeans_fit
+
+    emb = _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    return centroids_frame(spark, cents)
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + zone-map file skipping (layout.zorder_table /
     read_pruned): rewrite the events projection clustered on the z-curve of
@@ -1175,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": q_training_set,
         "future_labels": q_future_labels,
         "tfidf_topk": q_tfidf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
@@ -1301,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "future_labels": OQ.future_labels_sql(d),
         # rational tf-idf (pinned double-op order; ln-idf is engine-only)
         "tfidf_topk": OD.tfidf_sql(d),
+        # iterative Lloyd's, exactly hash-gradeable via integer domains
+        "kmeans_centroids": OD.kmeans_sql(d),
         # layout never changes results: the z-ordered, zone-map-pruned scan
         # must equal the plain filter+aggregate
         "zorder_scan": (

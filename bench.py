@@ -137,6 +137,11 @@ def main() -> int:
             "histogram_drift",
             "zscore_normalize",
             "table_profile",
+            "training_set",
+            "future_labels",
+            "tfidf_topk",
+            "kmeans_centroids",
+            "zorder_scan",
             "asof_forward",
             "tpch_q1",
             "broadcast_join",

@@ -345,6 +345,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_anchors: int = 16,
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF-style coarse quantizer: every vector is assigned
     to its nearest anchor (cell), queries probe their ``nprobe`` nearest
@@ -374,7 +375,14 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
+    # data-adapted anchors (e.g. ops/kmeans.kmeans_fit centroids, dequantized)
+    # drop in for the md5 defaults; cell semantics are unchanged
+    if anchors is None:
+        anchors = [_ivf_anchor(dim, a) for a in range(n_anchors)]
+    else:
+        if any(len(a) != dim for a in anchors):
+            raise ValueError(f"every anchor must have dim {dim}")
+        n_anchors = len(anchors)
 
     # -- query probes: driver-side top-nprobe cells per query --------------
     spark = emb.sparkSession

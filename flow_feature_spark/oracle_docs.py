@@ -672,6 +672,63 @@ FROM (
 """
 
 
+def kmeans_sql(dialect: str, k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """ops/kmeans.kmeans_fit oracle: ``iters`` Lloyd iterations unrolled as
+    CTE blocks, every quantity in the engine's exact domains — int64
+    quantized vectors (floor(x·2^20+0.5)), integer squared distances with
+    smallest-index tie-break, centroid update floor((2.0·s+n)/(2.0·n)) in
+    the same pinned double-op order. An ITERATIVE algorithm the hash gate
+    can grade exactly; early-stop can only make the engine match (a
+    no-move iteration is a fixed point, so replaying it is identity)."""
+    assert dialect == "duckdb", "oracle-only SQL; the engine side is the API"
+    scale = float(1 << 20)
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i])))"
+    ).format(d=dim)
+    blocks = [
+        f"""pts AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * {scale} + 0.5) AS bigint)) AS q
+  FROM embeddings
+),
+seeded AS (
+  SELECT q, row_number() OVER (ORDER BY md5(CAST(id AS varchar)), id) AS rn
+  FROM pts
+),
+cent0 AS (SELECT CAST(rn - 1 AS int) AS c, q FROM seeded WHERE rn <= {k})"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cent{t - 1}"
+        blocks.append(f"""assign{t} AS (
+  SELECT id, q, c FROM (
+    SELECT p.id, p.q, c.c,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {dist}, c.c) AS rk
+    FROM pts p CROSS JOIN {prev} c
+  ) a WHERE rk = 1
+),
+upd{t} AS (
+  SELECT a.c, CAST(r.range AS int) AS pos,
+         CAST(floor((2.0 * sum(a.q[r.range + 1]) + count(*))
+                    / (2.0 * count(*))) AS bigint) AS cq
+  FROM assign{t} a CROSS JOIN range(0, {dim}) r
+  GROUP BY a.c, r.range
+),
+cent{t} AS (
+  SELECT p.c, coalesce(u.q, p.q) AS q
+  FROM {prev} p LEFT JOIN (
+    SELECT c, list(cq ORDER BY pos) AS q FROM upd{t} GROUP BY c
+  ) u ON p.c = u.c
+)""")
+    return f"""
+WITH {', '.join(blocks)}
+SELECT c AS cluster, CAST(r.range AS int) AS pos, q[r.range + 1] AS cq
+FROM cent{iters} CROSS JOIN range(0, {dim}) r
+"""
+
+
 def dedup_clusters_sql(dialect: str) -> str:
     """ops/cluster.dedup_clusters oracle: connected components of the
     simhash near-dup pair graph via recursive transitive closure — min
