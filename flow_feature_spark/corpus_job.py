@@ -29,11 +29,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--op", required=True,
-        choices=["analyze", "vocab", "sample", "pairs", "clusters", "dedup"],
+        choices=["analyze", "vocab", "tfidf", "sample", "pairs", "clusters", "dedup"],
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--top-n", type=int, default=1000, help="vocab size")
+    p.add_argument("--tfidf-k", type=int, default=5,
+                   help="--op tfidf: terms kept per document")
+    p.add_argument("--log-idf", action="store_true",
+                   help="--op tfidf: classic tf*ln(N/df) scoring instead "
+                        "of the cross-engine-exact rational tf*N/df")
     p.add_argument("--fraction", type=float, default=None,
                    help="sample: Bernoulli keep fraction (hash-deterministic)")
     p.add_argument("--per-stratum", type=int, default=None,
@@ -111,6 +116,9 @@ def run(argv: list[str] | None = None) -> int:
         out = tx.analyze_documents(docs, text_col=args.text_col)
     elif args.op == "vocab":
         out = tx.token_vocabulary(docs, text_col=args.text_col, top_n=args.top_n)
+    elif args.op == "tfidf":
+        out = tx.tfidf_topk(docs, text_col=args.text_col, id_col=args.id_col,
+                            k=args.tfidf_k, log_idf=args.log_idf)
     elif args.op == "sample":
         if (args.fraction is None) == (args.per_stratum is None):
             raise SystemExit(

@@ -26,7 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mode",
         choices=["features", "sessionize", "asof", "stream", "rollup",
-                 "compact", "profile", "drift", "quality", "incremental"],
+                 "compact", "profile", "drift", "quality", "incremental",
+                 "zorder", "vacuum"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
@@ -42,8 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
         "one scan and write the report (exit 2 with --fail-on-violation if "
         "any fail); incremental: ingest --input as a turn delta into "
         "--turns-table and bring --features-table up to date, recomputing "
-        "only the touched conversations (--output ignored)",
+        "only the touched conversations (--output ignored); "
+        "zorder: rewrite --input into --output clustered on the z-curve of "
+        "--zorder-by and record per-file zone maps for pruned reads; "
+        "vacuum: delete snap-* directories under --input (a snapshot table) "
+        "that no log entry references (--output ignored)",
     )
+    p.add_argument("--zorder-by", default=None,
+                   help="--mode zorder: comma-separated numeric/string "
+                        "columns to cluster on (zone maps recorded for the "
+                        "same columns)")
+    p.add_argument("--zorder-files", type=int, default=64,
+                   help="--mode zorder: output file count")
     p.add_argument("--expectations",
                    help="--mode quality: JSON file with a list of constraint "
                    "specs, e.g. [{\"kind\": \"not_null\", \"col\": \"conv_id\"}]")
@@ -212,6 +223,35 @@ def run(argv: list[str] | None = None) -> int:
         print(
             f"compacted {args.input}: {stats['files_before']} -> "
             f"{stats['files_after']} files ({stats['bytes']} bytes)"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.mode == "zorder":
+        from flow_feature_spark.layout import zorder_table
+
+        cols = [c.strip() for c in (args.zorder_by or "").split(",") if c.strip()]
+        if not cols:
+            raise SystemExit("--mode zorder requires --zorder-by col[,col...]")
+        # a layout rewrite is parquet-table maintenance, like --mode compact
+        df = spark.read.parquet(args.input)
+        zonemap = zorder_table(df, args.output, cols, n_files=args.zorder_files)
+        print(
+            f"z-ordered {args.input} -> {args.output}: "
+            f"{len(zonemap['files'])} files, zone maps on {cols}"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.mode == "vacuum":
+        from flow_feature_spark.io import vacuum_table
+
+        out = vacuum_table(spark, args.input)
+        print(
+            f"vacuumed {args.input}: removed {len(out['removed'])} orphan "
+            f"dir(s) {out['removed']}, {len(out['live'])} live"
         )
         if owns_session:
             spark.stop()

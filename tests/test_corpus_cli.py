@@ -112,3 +112,25 @@ def test_string_id_col_and_fast_minhash(spark, tmp_path):
     ]) == 0
     kept = {r["content_id"] for r in spark.read.parquet(dout).collect()}
     assert "sha000" in kept and "sha900" not in kept and len(kept) == 30
+
+
+def test_tfidf_op(spark, docs_path, tmp_path):
+    from flow_feature_spark.ops.text import tfidf_topk
+
+    out = f"{tmp_path}/tfidf"
+    assert corpus_job.run([
+        "--input", docs_path, "--output", out, "--op", "tfidf",
+        "--tfidf-k", "3",
+    ]) == 0
+    got = spark.read.parquet(out)
+    direct = tfidf_topk(spark.read.parquet(docs_path), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # the log-idf variant runs and scores differ where df varies
+    out2 = f"{tmp_path}/tfidf_log"
+    assert corpus_job.run([
+        "--input", docs_path, "--output", out2, "--op", "tfidf",
+        "--tfidf-k", "3", "--log-idf",
+    ]) == 0
+    assert spark.read.parquet(out2).count() > 0

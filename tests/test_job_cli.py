@@ -533,3 +533,44 @@ def test_job_incremental_mode(spark, tmp_path):
         ).collect())
     )
     assert got == want and len(got) > 10
+
+
+def test_job_zorder_and_vacuum_modes(spark, tmp_path):
+    import random
+
+    from flow_feature_spark.io import read_snapshot, vacuum_table, write_snapshot
+    from flow_feature_spark.layout import read_pruned, read_zonemap
+
+    rng = random.Random(2)
+    inp, out = f"{tmp_path}/zin", f"{tmp_path}/zout"
+    spark.createDataFrame(
+        [(i, rng.randrange(0, 100), rng.randrange(0, 100) * 1.0)
+         for i in range(2000)],
+        "id long, x long, v double",
+    ).write.parquet(inp)
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "zorder",
+        "--zorder-by", "x,v", "--zorder-files", "4",
+    ]) == 0
+    zm = read_zonemap(spark, out)
+    assert len(zm["files"]) == 4 and zm["columns"] == ["x", "v"]
+    pruned, _ = read_pruned(spark, out, {"x": (10, 20), "v": (10.0, 20.0)})
+    oracle = spark.read.parquet(out).filter(
+        F.col("x").between(10, 20) & F.col("v").between(10.0, 20.0)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, oracle.collect())
+    )
+    # zorder requires --zorder-by
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="zorder-by"):
+        job.run(["--input", inp, "--output", out + "2", "--mode", "zorder"])
+
+    # vacuum: orphan dir removed, committed snapshots intact
+    tbl = f"{tmp_path}/vtbl"
+    write_snapshot(spark.range(7), tbl, job="t")
+    spark.range(3).write.parquet(tbl + "/snap-000042")
+    assert job.run(["--input", tbl, "--output", "ignored", "--mode", "vacuum"]) == 0
+    assert vacuum_table(spark, tbl)["removed"] == []  # already clean
+    assert read_snapshot(spark, tbl).count() == 7
