@@ -480,6 +480,7 @@ def write_snapshot(
     operation: str = "overwrite",
     allow_new_columns: bool = False,
     stats_cols: tuple[str, ...] | None = None,
+    extra_entry: dict | None = None,
 ) -> dict:
     """Commit df as a NEW immutable snapshot of the table; returns the log
     entry. Readers of earlier snapshot ids are unaffected (their data dirs
@@ -570,6 +571,11 @@ def write_snapshot(
         "committed_at_unix": int(time.time()),
         "metrics": metrics.snapshot() if metrics is not None else None,
     }
+    if extra_entry:
+        clash = set(extra_entry) & set(entry)
+        if clash:
+            raise ValueError(f"extra_entry may not override {sorted(clash)}")
+        entry.update(extra_entry)
     _write_log(spark, table_path, log + [entry])
     return entry
 
@@ -681,6 +687,31 @@ def read_snapshot_pruned(
         if hi is not None:
             cond = cond & (F.col(c) <= F.lit(hi))
     return out.filter(cond)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 8,
+    stats_cols: tuple[str, ...] | None = None,
+) -> dict:
+    """Rewrite the CURRENT state as one fresh overwrite commit of
+    ``target_files`` files — the history-preserving compaction for snapshot
+    tables. A long fast-append chain (one small directory per ingested
+    batch) or a replace-shadowed composition degrades reads: every query
+    opens every delta directory and applies exclusion filters. Compaction
+    collapses the live composition into a single directory; older
+    snapshots keep reading their immutable directories (run
+    ``expire_snapshots`` + ``vacuum_table`` afterwards to reclaim them).
+    Iceberg calls this rewrite_data_files."""
+    cur = read_snapshot(spark, table_path)
+    return write_snapshot(
+        cur.repartition(target_files),
+        table_path,
+        job="compact_snapshot",
+        operation="overwrite",
+        stats_cols=stats_cols,
+    )
 
 
 def vacuum_table(spark: SparkSession, table_path: str) -> dict:

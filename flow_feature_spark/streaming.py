@@ -439,3 +439,57 @@ def stream_dedup_turns(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def snapshot_append_sink(table_path: str, job: str = "stream"):
+    """foreachBatch sink committing each micro-batch as a fast-append
+    snapshot EXACTLY-ONCE. Structured Streaming's foreachBatch is
+    at-least-once: after a crash between the snapshot commit and the
+    checkpoint advance, the SAME batch_id replays — the sink records
+    ``stream_batch_id`` in the snapshot log and skips any (job, batch_id)
+    it has already committed (the Delta ``txnAppId``/``txnVersion``
+    idempotent-writer pattern). The log read+append runs on the driver
+    inside the micro-batch, serialized by the streaming engine, so the
+    check-then-commit pair is race-free within a query."""
+    from flow_feature_spark.io import _read_log, write_snapshot
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        log = _read_log(spark, table_path)
+        if any(
+            e.get("stream_batch_id") == batch_id and e.get("job") == job
+            for e in log
+        ):
+            return  # replayed batch: already durable, skip (exactly-once)
+        write_snapshot(
+            bdf,
+            table_path,
+            job=job,
+            operation="append",
+            extra_entry={"stream_batch_id": batch_id},
+        )
+
+    return sink
+
+
+def stream_append_snapshot(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    job: str = "stream",
+):
+    """Run a bounded (availableNow) ingestion of ``stream_df`` into the
+    snapshot table and block until drained: streaming source -> exactly-once
+    fast-append commits, resumable from ``checkpoint`` — rerunning after a
+    kill picks up only unprocessed batches and replayed ones are skipped by
+    the sink's batch-id ledger. The streaming face of S4's resumability
+    promise, landing in the same table time travel / changelog / incremental
+    maintenance already read."""
+    q = (
+        stream_df.writeStream.foreachBatch(snapshot_append_sink(table_path, job))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

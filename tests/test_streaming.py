@@ -626,3 +626,86 @@ def test_stream_asof_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     assert len(got) == len(want)  # every probe exactly once across both runs
     assert got == want
+
+
+def test_stream_append_snapshot_exactly_once(spark, tmp_path):
+    """Streaming ingestion into the snapshot table: availableNow drains the
+    staged batches as fast-append commits; a rerun from the same checkpoint
+    commits nothing; a REPLAYED batch id (the crash-between-commit-and-
+    checkpoint case foreachBatch is at-least-once about) is skipped by the
+    sink's batch-id ledger; a newly arrived file commits exactly once."""
+    import os
+    import time
+
+    from flow_feature_spark.io import read_snapshot, snapshot_history
+    from flow_feature_spark.streaming import (
+        snapshot_append_sink,
+        stream_append_snapshot,
+    )
+
+    src, cp, tbl = f"{tmp_path}/in", f"{tmp_path}/cp", f"{tmp_path}/tbl"
+
+    def _stage(i, lo, hi):
+        sub = f"{src}/batch{i}"
+        spark.range(lo, hi).coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    _stage(0, 0, 10)
+    _stage(1, 10, 25)
+
+    def _run():
+        schema = spark.read.parquet(f"{src}/batch0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/batch*")
+        )
+        stream_append_snapshot(stream, tbl, cp, job="t")
+
+    _run()
+    assert sorted(r["id"] for r in read_snapshot(spark, tbl).collect()) == list(range(25))
+    log1 = snapshot_history(spark, tbl)
+    assert [e.get("stream_batch_id") for e in log1] == [0, 1]
+    assert all(e["operation"] == "append" for e in log1)
+
+    # resume with nothing new: no commits
+    _run()
+    assert len(snapshot_history(spark, tbl)) == 2
+
+    # crash replay: the sink sees an already-committed batch id and skips
+    snapshot_append_sink(tbl, job="t")(spark.range(10, 25), 1)
+    assert len(snapshot_history(spark, tbl)) == 2
+    assert read_snapshot(spark, tbl).count() == 25
+
+    # late-arriving file: exactly one more commit with only its rows
+    _stage(2, 25, 30)
+    _run()
+    log3 = snapshot_history(spark, tbl)
+    assert len(log3) == 3 and log3[-1]["rows"] == 5
+    assert sorted(r["id"] for r in read_snapshot(spark, tbl).collect()) == list(range(30))
+
+
+def test_compact_snapshot_collapses_chain_history_preserved(spark, tmp_path):
+    from flow_feature_spark.io import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    tbl = f"{tmp_path}/ctbl"
+    write_snapshot(spark.range(10), tbl, job="t")
+    for lo in (10, 20, 30):
+        write_snapshot(
+            spark.range(lo, lo + 10), tbl, job="t", operation="append"
+        )
+    assert len(snapshot_history(spark, tbl)[-1]["dirs"]) == 4
+    entry = compact_snapshot(spark, tbl, target_files=2)
+    assert entry["dirs"] == [entry["dir"]]  # one directory now
+    assert sorted(r["id"] for r in read_snapshot(spark, tbl).collect()) == list(range(40))
+    # history preserved: the pre-compaction snapshot still reads
+    assert read_snapshot(spark, tbl, snapshot_id=4).count() == 40
+    assert read_snapshot(spark, tbl, snapshot_id=1).count() == 10
