@@ -1194,25 +1194,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
-        "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "per_source_features": q_per_source_features,
-        "proto_tag_filter": q_proto_tag,
-        "json_field": _sql(OQ.json_field_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        # --- entries below are OUTSIDE the driver's 50-entry window this
+        # round: each is r1-r4-green and either oracle-shares with a sibling
+        # above or rests on its r4 row (session_features_sql/kernel,
+        # sessionize_counts, asof_fast/asof_union_window_sql, time_rollup,
+        # whole_table_flow/json_field/proto_tag_filter — trivial SQL with r4
+        # rows, rotated out for the heavier corpus families, ann_lsh/ivf_topk
+        # covered by embedding_near_dup for C8, session_features_sql for
+        # tpch_q1's agg family)
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        # --- entries below are OUTSIDE the driver's 50-entry window this
-        # round: each is r1-r4-green and oracle-shares with a sibling above
-        # (session_features_sql/kernel, sessionize_counts, asof_fast/
-        # asof_union_window_sql, time_rollup, minhash_lsh_pairs,
-        # simhash_pairs, whole_table_flow, ann_lsh/ivf_topk +
-        # embedding_near_dup for C8, session_features_sql for tpch_q1's
-        # agg family cover them)
+        "whole_table_flow": _sql(OQ.whole_table_flow_sql),
+        "proto_tag_filter": q_proto_tag,
+        "json_field": _sql(OQ.json_field_sql),
         "tpch_q1": _sql(OQ.tpch_q1_sql),
         "cosine_topk": q_cosine_topk,
         "session_features_kernel": q_feature_vector_kernel,
