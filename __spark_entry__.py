@@ -884,6 +884,35 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5)
 
 
+def q_online_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE half of the feature store (featurestore.materialize_online):
+    a latest-per-entity serving table maintained by merge commits. The
+    session payload is split by session-id parity and materialized OUT OF
+    ORDER (even sessions first, odd second) — the staleness guard means the
+    final serving state must still equal the global latest-session-per-conv
+    oracle: late batches can never regress the table."""
+    import os
+    import shutil
+    import tempfile
+
+    from flow_feature_spark.featurestore import materialize_online
+    from flow_feature_spark.io import read_snapshot
+
+    feats = _session_feature_payload(spark, sf_dir)
+    tp = tempfile.mkdtemp(prefix="ffs_online_") + "/tbl"
+    try:
+        materialize_online(feats.filter(F.col("session_id") % 2 == 0), tp)
+        materialize_online(feats.filter(F.col("session_id") % 2 == 1), tp)
+        out = read_snapshot(spark, tp).select(
+            "conv_id", "session_id",
+            F.unix_micros(F.col("feature_ts")).alias("feat_us"),
+            "n_turns", "duration", "dpl_total_i",
+        )
+        return _collect_frozen(out)
+    finally:
+        shutil.rmtree(os.path.dirname(tp), ignore_errors=True)
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantized k-means (ops/kmeans.kmeans_fit): 3 Lloyd
     iterations, k=8, over the embeddings table — an ITERATIVE algorithm
@@ -1191,10 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_labels": q_future_labels,
         "tfidf_topk": q_tfidf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "online_features": q_online_features,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
-        "per_source_features": q_per_source_features,
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1211,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tpch_q1's agg family)
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "per_source_features": q_per_source_features,
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "proto_tag_filter": q_proto_tag,
         "json_field": _sql(OQ.json_field_sql),
@@ -1320,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": OD.tfidf_sql(d),
         # iterative Lloyd's, exactly hash-gradeable via integer domains
         "kmeans_centroids": OD.kmeans_sql(d),
+        # out-of-order materialization must converge to the global argmax
+        "online_features": OQ.online_features_sql(d),
         # layout never changes results: the z-ordered, zone-map-pruned scan
         # must equal the plain filter+aggregate
         "zorder_scan": (

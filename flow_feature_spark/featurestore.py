@@ -141,6 +141,73 @@ def build_training_set(
     return out
 
 
+def materialize_online(
+    features: DataFrame,
+    table_path: str,
+    entity_col: str = "conv_id",
+    ts_col: str = "feature_ts",
+) -> dict:
+    """Maintain the ONLINE half of the feature store: a latest-per-entity
+    serving table (what `build_training_set` is to training, this is to
+    inference). Each call merges a batch of feature rows:
+
+    1. the batch collapses to one row per entity — its latest ``ts_col``;
+       two rows sharing an entity's max timestamp are REJECTED (the same
+       cardinality rule MERGE enforces: picking one silently would make
+       the serving value nondeterministic);
+    2. rows not strictly newer than the entity's current serving row are
+       dropped — an OUT-OF-ORDER or replayed batch can never regress the
+       table (equal timestamps skip too, so re-materializing a batch is
+       idempotent);
+    3. the survivors MERGE INTO the snapshot table (copy-on-write upsert,
+       time travel over serving history included).
+
+    First call bootstraps the table. Returns the commit entry, or the
+    current entry when nothing survived the staleness guard."""
+    from flow_feature_spark.io import (
+        _read_log,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from pyspark.sql import Window
+
+    spark = features.sparkSession
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).desc())
+    ranked = features.withColumn("__rk", F.rank().over(w))
+    dup = (
+        ranked.filter(F.col("__rk") == 1)
+        .groupBy(entity_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ents = [r[entity_col] for r in dup]
+        raise ValueError(
+            f"batch has multiple rows at an entity's max {ts_col}: {ents}"
+        )
+    latest = ranked.filter(F.col("__rk") == 1).drop("__rk")
+
+    log = _read_log(spark, table_path)
+    if not log:
+        return write_snapshot(latest, table_path, job="online")
+    current = read_snapshot(spark, table_path).select(
+        F.col(entity_col), F.col(ts_col).alias("__cur_ts")
+    )
+    fresh = (
+        latest.join(current, on=entity_col, how="left")
+        .filter(
+            F.col("__cur_ts").isNull() | (F.col(ts_col) > F.col("__cur_ts"))
+        )
+        .drop("__cur_ts")
+    )
+    if not fresh.take(1):
+        return log[-1]  # everything stale or replayed: no commit
+    return merge_snapshot(fresh, table_path, (entity_col,), job="online")
+
+
 def attach_future_labels(
     df: DataFrame,
     horizon_seconds: float,

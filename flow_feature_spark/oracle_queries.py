@@ -726,6 +726,23 @@ ASOF LEFT JOIN dayfeats d
 """
 
 
+def online_features_sql(dialect: str, gap_us: int = GAP_US) -> str:
+    """featurestore.materialize_online oracle: the serving table must equal
+    the global latest-session-per-conversation regardless of the order
+    batches were materialized in (the staleness guard's contract). Session
+    end timestamps within a conversation are strictly increasing, so the
+    argmax is unique and no tie-break fires."""
+    return f"""
+WITH {turns_cte(dialect)}, {sess_cte(gap_us)}, {feats_cte()}
+SELECT conv_id, session_id, feat_us, n_turns, duration, dpl_total_i
+FROM (
+  SELECT f.*, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY feat_us DESC) AS rn
+  FROM feats f
+) t WHERE rn = 1
+"""
+
+
 def future_labels_sql(dialect: str, horizon_us: int = GAP_US) -> str:
     """featurestore.attach_future_labels oracle: per-turn strict-future
     window aggregate (ts, ts+horizon] — count and win-sum of the

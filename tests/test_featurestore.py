@@ -160,3 +160,48 @@ def test_loud_errors(spark, frames):
             probes.withColumnRenamed("entity_id", "eid"),
             {"A": FeatureGroup(ga)},
         )
+
+
+def test_materialize_online_latest_wins_out_of_order_safe(spark, tmp_path):
+    """The online half: latest-per-entity serving table. Out-of-order and
+    replayed batches can never regress it; equal-max-ts duplicates in one
+    batch are rejected loudly."""
+    from flow_feature_spark.featurestore import materialize_online
+    from flow_feature_spark.io import read_snapshot, snapshot_history
+
+    tbl = f"{tmp_path}/online"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, feature_ts timestamp, f int"
+        )
+
+    # bootstrap with the NEWER batch first (out-of-order ingestion)
+    materialize_online(batch([("a", _ts(30), 3), ("b", _ts(10), 7)]), tbl)
+    # older batch arrives late: a@10 must NOT regress a@30; c inserts;
+    # within-batch collapse keeps only c's latest row
+    materialize_online(
+        batch([("a", _ts(10), 1), ("c", _ts(5), 4), ("c", _ts(9), 5)]), tbl
+    )
+    got = {r["conv_id"]: (r["feature_ts"], r["f"])
+           for r in read_snapshot(spark, tbl).collect()}
+    assert got == {
+        "a": (_ts(30), 3), "b": (_ts(10), 7), "c": (_ts(9), 5)
+    }
+
+    # replay of an already-applied batch: no new commit (idempotent)
+    n_before = len(snapshot_history(spark, tbl))
+    entry = materialize_online(batch([("a", _ts(30), 3)]), tbl)
+    assert len(snapshot_history(spark, tbl)) == n_before
+    assert entry["snapshot_id"] == n_before
+
+    # strictly newer value wins and commits
+    materialize_online(batch([("a", _ts(31), 9)]), tbl)
+    got2 = {r["conv_id"]: r["f"] for r in read_snapshot(spark, tbl).collect()}
+    assert got2["a"] == 9 and got2["b"] == 7
+
+    # equal-max-ts duplicate within one batch -> loud
+    with pytest.raises(ValueError, match="multiple rows"):
+        materialize_online(
+            batch([("z", _ts(1), 1), ("z", _ts(1), 2)]), tbl
+        )
