@@ -440,6 +440,96 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with exact-µs timestamps + byte/tier derivations for the
+    time-series family (resample/decayed/intervals/SCD2)."""
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.length(F.coalesce("props", F.lit(""))).cast("long").alias("bytes"),
+        "value",
+        "event_id",
+    )
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19: dense 6h-bucket grid per user with zero-filled counts/byte sums
+    and forward-filled last value (timeseries.resample_counts)."""
+    from flow_feature_spark.timeseries import resample_counts
+
+    out = resample_counts(
+        _events_us(spark, sf_dir),
+        "user_id",
+        "ts_us",
+        OQ.RESAMPLE_BUCKET_US,
+        sum_col="bytes",
+        ffill_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "bucket_idx", "bucket_start_us",
+        "n_events", "sum_bytes", "value_ffill",
+    )
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20: half-life decayed event counts on the dense grid — exact bigint
+    2^(K-j) weighting, one dyadic double divide (timeseries.decayed_counts)."""
+    from flow_feature_spark.timeseries import decayed_counts, resample_counts
+
+    grid = resample_counts(
+        _events_us(spark, sf_dir), "user_id", "ts_us", OQ.RESAMPLE_BUCKET_US
+    )
+    out = decayed_counts(grid, "user_id", "bucket_idx", "n_events", lookback=20)
+    return out.select(
+        "user_id", "bucket_idx", "bucket_start_us",
+        "n_events", "decayed_num", "decayed",
+    )
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: per-user activity-interval coalescing ([ts, ts + floor(value) s]
+    islands) through intervals.merge_intervals."""
+    from flow_feature_spark.intervals import merge_intervals
+
+    iv = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.floor("value").cast("long") * F.lit(1_000_000))
+        .alias("end_us"),
+    )
+    return merge_intervals(iv, "start_us", "end_us", entity_col="user_id")
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: SCD2 validity history of each user's value tier
+    (featurestore.build_scd2 — run compression + half-open intervals)."""
+    from flow_feature_spark.featurestore import build_scd2
+
+    cl = _events_us(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") / F.lit(100)).cast("long").alias("tier"),
+        "event_id",
+    )
+    return build_scd2(cl, ["user_id"], "ts_us", ["tier"],
+                      tiebreak_cols=["event_id"])
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: edit-distance<=1 fuzzy join over document title proxies via the
+    deletion-neighborhood banding (ops.fuzzy.edit_distance_pairs); must
+    equal the all-pairs levenshtein oracle exactly."""
+    from flow_feature_spark.ops.fuzzy import edit_distance_pairs
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    p = docs.select(
+        "doc_id", F.substring("text", 1, OD.FUZZY_PREFIX_LEN).alias("s")
+    ).filter(F.col("text").isNotNull() & (F.length("s") > 0))
+    return edit_distance_pairs(p, "doc_id", "s", max_distance=OD.FUZZY_MAX_DIST)
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 as a driver-checkable query: Structured Streaming session_window
     sessionization (availableNow over the events parquet, complete-mode
@@ -1223,6 +1313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_features": q_online_features,
         "incremental_features": q_incremental_features,
         "quality_checks": q_quality_checks,
+        # round-5 session-5 additions: time-series regularization, interval
+        # coalescing, SCD2 history, fuzzy edit-distance join (never driver-
+        # checked -> in-window; the displaced tail entries are all r4-green)
+        "resample_ffill": q_resample_ffill,
+        "decayed_counts": q_decayed_counts,
+        "merge_intervals": q_merge_intervals,
+        "scd2_build": q_scd2_build,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
@@ -1303,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tool_pivot": OQ.tool_pivot_sql(d),
         "gap_percentiles": OQ.gap_percentiles_sql(d),
+        "resample_ffill": OQ.resample_sql(d),
+        "decayed_counts": OQ.decayed_sql(d),
+        "merge_intervals": OQ.merge_intervals_sql(d),
+        "scd2_build": OQ.scd2_sql(d),
+        "fuzzy_pairs": OD.fuzzy_pairs_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),
         "semi_anti_join": OQ.semi_anti_sql(d),

@@ -142,6 +142,11 @@ def main() -> int:
             "tfidf_topk",
             "kmeans_centroids",
             "zorder_scan",
+            "resample_ffill",
+            "decayed_counts",
+            "merge_intervals",
+            "scd2_build",
+            "fuzzy_pairs",
             "asof_forward",
             "tpch_q1",
             "broadcast_join",

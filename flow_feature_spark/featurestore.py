@@ -247,3 +247,53 @@ def attach_future_labels(
             F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
         )
     return out
+
+
+def build_scd2(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_us_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an attribute changelog.
+
+    Input: one row per observation (key, ts, attributes). Output: one row
+    per VALIDITY INTERVAL — consecutive observations with identical
+    attribute values are compressed into a single row with
+    ``valid_from_us`` (first observation of the run) and ``valid_to_us``
+    (the next run's valid_from, i.e. half-open [from, to); NULL for the
+    currently-open run). This is the dimension-history table a
+    point-in-time training join reads (``build_training_set`` /
+    ``asof_join_union_window`` attach it leak-free): the feature-store
+    complement of the reference's per-flow final vectors — attributes as
+    they WERE at each probe time, not as they ARE now.
+
+    Semantics pinned by tests: change detection is null-safe (NULL -> value
+    and value -> NULL are changes, NULL -> NULL is not); a value that
+    reverts (A -> B -> A) produces three intervals, never a merged one;
+    duplicate timestamps are ordered by ``tiebreak_cols`` so the result is
+    deterministic. Scale shape: ONE hash exchange on the key — change
+    detection (lag), run compression (filter) and valid_to (lead) all ride
+    the same per-key sort; output size is the number of value RUNS, never
+    the changelog size.
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("build_scd2 needs at least one key and one attribute")
+    from pyspark.sql import Window
+
+    order = [F.col(ts_us_col).cast("long")] + [
+        F.col(c) for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    first = F.row_number().over(w) == 1
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    runs = df.withColumn("_is_start", first | changed).filter("_is_start")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        runs.withColumn("valid_from_us", F.col(ts_us_col).cast("long"))
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .select(*key_cols, *attr_cols, "valid_from_us", "valid_to_us")
+    )

@@ -755,3 +755,30 @@ SELECT node AS doc_id, cast(min(lab) AS bigint) AS component,
        (node = min(lab)) AS is_canonical
 FROM reach GROUP BY node
 """
+
+
+FUZZY_PREFIX_LEN = 16
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_pairs_sql(
+    dialect: str,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    """Brute-force oracle for ops.fuzzy.edit_distance_pairs over document
+    title proxies (first ``prefix_len`` chars of non-empty texts): the
+    banded engine must equal the all-pairs levenshtein join exactly."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, substring(text, 1, {prefix_len}) AS s
+  FROM documents
+  WHERE text IS NOT NULL AND length(substring(text, 1, {prefix_len})) > 0
+)
+SELECT id_a, id_b, cast(dist AS integer) AS dist
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS dist
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+) d
+WHERE dist <= {max_dist}
+"""

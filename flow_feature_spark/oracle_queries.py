@@ -1385,3 +1385,184 @@ SELECT ws_us                          AS win_start_us,
        cast(sum(b) AS bigint)         AS bytes_total
 FROM h GROUP BY ws_us
 """
+
+
+RESAMPLE_BUCKET_US = 21_600_000_000  # 6 h — a few hundred grid rows per user
+
+
+def resample_sql(dialect: str, bucket_us: int = RESAMPLE_BUCKET_US) -> str:
+    """Dense-grid resample oracle (mirrors timeseries.resample_counts over
+    events): absolute-aligned buckets, zero-filled counts/byte sums, and the
+    forward-filled last `value` (per-bucket last by (ts, event_id), then
+    IGNORE NULLS last_value over the dense grid)."""
+    ts = _epoch_us(dialect)
+    if dialect == "spark":
+        gen = "LATERAL VIEW explode(sequence(lo, hi)) _t AS bucket_idx"
+        grid = f"SELECT user_id, bucket_idx FROM span {gen}"
+    else:
+        grid = ("SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx "
+                "FROM span")
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         {ts} AS ts_us,
+         cast(floor({ts} / {bucket_us}) AS bigint) AS bucket_idx,
+         cast(length(coalesce(props, '')) AS bigint) AS b,
+         value, event_id
+  FROM events
+),
+pb AS (
+  SELECT user_id, bucket_idx,
+         cast(count(*) AS bigint) AS n_events,
+         cast(sum(b) AS bigint)   AS sum_bytes
+  FROM e GROUP BY user_id, bucket_idx
+),
+bl AS (  -- per-bucket last observed value: max by (ts_us, event_id)
+  SELECT user_id, bucket_idx, value AS bucket_last
+  FROM (
+    SELECT user_id, bucket_idx, value,
+           row_number() OVER (PARTITION BY user_id, bucket_idx
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e
+  ) r WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(bucket_idx) AS lo, max(bucket_idx) AS hi
+  FROM e GROUP BY user_id
+),
+grid AS ({grid})
+SELECT g.user_id,
+       g.bucket_idx,
+       cast(g.bucket_idx * {bucket_us} AS bigint)   AS bucket_start_us,
+       cast(coalesce(pb.n_events, 0) AS bigint)     AS n_events,
+       cast(coalesce(pb.sum_bytes, 0) AS bigint)    AS sum_bytes,
+       last_value(bl.bucket_last IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g
+LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket_idx = g.bucket_idx
+LEFT JOIN bl ON bl.user_id = g.user_id AND bl.bucket_idx = g.bucket_idx
+"""
+
+
+def decayed_sql(
+    dialect: str,
+    bucket_us: int = RESAMPLE_BUCKET_US,
+    lookback: int = 20,
+) -> str:
+    """Half-life decayed counts oracle (mirrors timeseries.decayed_counts on
+    the resample grid): integer numerator sum_j c_{b-j} * 2^(K-j) via K+1
+    lag terms, ONE double divide by 2^K (dyadic-exact)."""
+    ts = _epoch_us(dialect)
+    if dialect == "spark":
+        gen = "LATERAL VIEW explode(sequence(lo, hi)) _t AS bucket_idx"
+        grid = f"SELECT user_id, bucket_idx FROM span {gen}"
+    else:
+        grid = ("SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx "
+                "FROM span")
+    terms = " + ".join(
+        f"coalesce(lag(n_events, {j}) OVER w, 0) * {1 << (lookback - j)}"
+        for j in range(lookback + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, cast(floor({ts} / {bucket_us}) AS bigint) AS bucket_idx
+  FROM events
+),
+pb AS (
+  SELECT user_id, bucket_idx, cast(count(*) AS bigint) AS n_events
+  FROM e GROUP BY user_id, bucket_idx
+),
+span AS (
+  SELECT user_id, min(bucket_idx) AS lo, max(bucket_idx) AS hi
+  FROM e GROUP BY user_id
+),
+grid AS ({grid}),
+dense AS (
+  SELECT g.user_id, g.bucket_idx,
+         cast(coalesce(pb.n_events, 0) AS bigint) AS n_events
+  FROM grid g
+  LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket_idx = g.bucket_idx
+)
+SELECT user_id,
+       bucket_idx,
+       cast(bucket_idx * {bucket_us} AS bigint) AS bucket_start_us,
+       n_events,
+       cast({terms} AS bigint) AS decayed_num,
+       cast(cast({terms} AS bigint) AS double) / {float(1 << lookback)!r} AS decayed
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket_idx)
+"""
+
+
+def merge_intervals_sql(dialect: str) -> str:
+    """Interval-coalescing oracle (mirrors intervals.merge_intervals over
+    per-user event activity intervals [ts, ts + floor(value) seconds]):
+    running-max-end island detection, closed-interval touching merge."""
+    ts = _epoch_us(dialect)
+    return f"""
+WITH iv AS (
+  SELECT user_id,
+         {ts} AS start_us,
+         {ts} + cast(floor(value) AS bigint) * 1000000 AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN max(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, end_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) >= start_us THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+labeled AS (
+  SELECT user_id, start_us, end_us,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY start_us, end_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+)
+SELECT user_id,
+       cast(island_id AS bigint)      AS island_id,
+       cast(min(start_us) AS bigint)  AS start_us,
+       cast(max(end_us) AS bigint)    AS end_us,
+       cast(count(*) AS bigint)       AS n_intervals,
+       cast(sum(end_us - start_us) AS bigint) AS len_sum_us
+FROM labeled
+GROUP BY user_id, island_id
+"""
+
+
+def scd2_sql(dialect: str) -> str:
+    """SCD2 dimension-history oracle (mirrors featurestore.build_scd2 over
+    the per-user value tier floor(value/100)): null-safe change detection,
+    run compression, half-open validity with NULL open end."""
+    ts = _epoch_us(dialect)
+    neq = "IS DISTINCT FROM"
+    return f"""
+WITH cl AS (
+  SELECT user_id,
+         {ts} AS ts_us,
+         cast(floor(value / 100) AS bigint) AS tier,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, tier, event_id,
+         CASE WHEN row_number() OVER w = 1
+                OR tier {neq} lag(tier) OVER w
+              THEN 1 ELSE 0 END AS is_start
+  FROM cl
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs AS (
+  SELECT user_id, tier, ts_us AS valid_from_us, event_id
+  FROM flagged WHERE is_start = 1
+)
+SELECT user_id, tier,
+       cast(valid_from_us AS bigint) AS valid_from_us,
+       cast(lead(valid_from_us) OVER (
+         PARTITION BY user_id ORDER BY valid_from_us, event_id
+       ) AS bigint) AS valid_to_us
+FROM runs
+"""
