@@ -77,24 +77,42 @@ def resample_counts(
             t, *( [F.col(tiebreak_col)] if tiebreak_col else [] )
         )
         aggs.append(F.max_by(ffill_col, order).alias("_bucket_last"))
+    # ONE scan of the raw table: the (entity, bucket) partials shuffle on
+    # (entity, bucket) — the compressed rows, never the raw events. The dense
+    # grid is then generated WITHOUT a span join or second scan: each
+    # per-bucket row explodes the gap back to its lag (the classic
+    # sessionized gap-fill), so the grid appears inline in one branch. The
+    # lag/ffill windows share one hash(entity) exchange — the partitioning
+    # this operator inherently needs, since forward fill is a per-entity
+    # sequential pass; a hot entity's grid is bounded by its active span /
+    # bucket, never by its event count.
     per_bucket = df.select(e.alias("entity"), b, F.col("*")).groupBy(
         "entity", "bucket_idx"
     ).agg(*aggs)
 
-    # per-entity dense grid: sequence() over the entity's own bucket span
-    span = df.groupBy(e.alias("entity")).agg(
-        F.min(F.floor(t / F.lit(int(bucket_us))).cast("long")).alias("_lo"),
-        F.max(F.floor(t / F.lit(int(bucket_us))).cast("long")).alias("_hi"),
+    wlag = Window.partitionBy("entity").orderBy("bucket_idx")
+    gapped = per_bucket.withColumn(
+        "_from",
+        F.coalesce(F.lag("bucket_idx").over(wlag) + 1, F.col("bucket_idx")),
     )
-    grid = span.select(
-        "entity",
-        F.explode(F.sequence("_lo", "_hi")).alias("bucket_idx"),
-    )
-
-    out = grid.join(per_bucket, ["entity", "bucket_idx"], "left")
-    out = out.withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    real = F.col("_g") == F.col("bucket_idx")
+    gen_cols = [
+        F.col("entity"),
+        F.col("_g").alias("_grid_idx"),
+        F.when(real, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+    ]
     if sum_col is not None:
-        out = out.withColumn(f"sum_{sum_col}", F.coalesce(f"sum_{sum_col}", F.lit(0)))
+        gen_cols.append(
+            F.when(real, F.col(f"sum_{sum_col}")).otherwise(F.lit(0))
+            .alias(f"sum_{sum_col}")
+        )
+    if ffill_col is not None:
+        gen_cols.append(
+            F.when(real, F.col("_bucket_last")).alias("_bucket_last")
+        )
+    out = gapped.select(
+        "*", F.explode(F.sequence("_from", "bucket_idx")).alias("_g")
+    ).select(*gen_cols).withColumnRenamed("_grid_idx", "bucket_idx")
     if ffill_col is not None:
         w = (
             Window.partitionBy("entity")
