@@ -530,6 +530,26 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(p, "doc_id", "s", max_distance=OD.FUZZY_MAX_DIST)
 
 
+def q_melt_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: wide->long melt via native unpivot (ONE Expand, zero shuffle
+    past the pivot's aggregate): pivot_counts output back to
+    (user_id, category, n) — the exact round-trip dual of tool_pivot."""
+    from flow_feature_spark.rollup import pivot_counts, unpivot_counts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    wide = pivot_counts(
+        ev, group_col="user_id", pivot_col="event_type",
+        values=list(OQ.PIVOT_VALUES),
+    )
+    return unpivot_counts(
+        wide,
+        ["user_id"],
+        [f"n_{v}" for v in OQ.PIVOT_VALUES] + ["n_total"],
+        var_name="category",
+        val_name="n",
+    )
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 as a driver-checkable query: Structured Streaming session_window
     sessionization (availableNow over the events parquet, complete-mode
@@ -1321,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "scd2_build": q_scd2_build,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "melt_long": q_melt_long,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
@@ -1406,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals": OQ.merge_intervals_sql(d),
         "scd2_build": OQ.scd2_sql(d),
         "fuzzy_pairs": OD.fuzzy_pairs_sql(d),
+        "melt_long": OQ.melt_long_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),
         "semi_anti_join": OQ.semi_anti_sql(d),

@@ -29,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument(
         "--op", required=True,
-        choices=["analyze", "vocab", "tfidf", "sample", "pairs", "clusters", "dedup"],
+        choices=["analyze", "vocab", "tfidf", "sample", "pairs", "clusters",
+                 "dedup", "fuzzy"],
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -46,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stratify-by", default="source")
     p.add_argument("--salt", default="", help="independent sample draws")
     p.add_argument("--method", choices=["simhash", "minhash"], default="simhash")
+    p.add_argument("--max-distance", type=int, default=1, choices=[1, 2],
+                   help="--op fuzzy: Levenshtein threshold")
+    p.add_argument("--fuzzy-col", default=None,
+                   help="--op fuzzy: short-string column to join on "
+                   "(default: first 16 chars of --text-col)")
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="--op fuzzy: drop deletion variants shared by more "
+                   "than this many strings (bounded-work recall trade)")
     p.add_argument("--max-hamming", type=int, default=3, help="simhash radius")
     p.add_argument("--minhash-k", type=int, default=None,
                    help="minhash signature length (default: production k)")
@@ -133,6 +142,20 @@ def run(argv: list[str] | None = None) -> int:
                 docs, group_col=args.stratify_by, k=args.per_stratum,
                 key_col=args.id_col, salt=args.salt,
             )
+    elif args.op == "fuzzy":
+        from flow_feature_spark.ops.fuzzy import edit_distance_pairs
+
+        if args.fuzzy_col:
+            base = docs.select(args.id_col, F.col(args.fuzzy_col).alias("s"))
+        else:
+            base = docs.select(
+                args.id_col, F.substring(args.text_col, 1, 16).alias("s")
+            )
+        base = base.filter(F.col("s").isNotNull() & (F.length("s") > 0))
+        out = edit_distance_pairs(
+            base, args.id_col, "s",
+            max_distance=args.max_distance, max_bucket=args.max_bucket,
+        )
     elif args.op == "pairs":
         out = _pairs(docs, args)
     elif args.op == "clusters":

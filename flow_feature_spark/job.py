@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--mode",
         choices=["features", "sessionize", "asof", "stream", "rollup",
                  "compact", "profile", "drift", "quality", "incremental",
-                 "zorder", "vacuum"],
+                 "zorder", "vacuum", "resample", "scd2"],
         default="features",
         help="features: per-session 72-vectors; sessionize: turn->session map; "
         "asof: attach vectors to --probes; stream: readStream the input "
@@ -47,7 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         "zorder: rewrite --input into --output clustered on the z-curve of "
         "--zorder-by and record per-file zone maps for pruned reads; "
         "vacuum: delete snap-* directories under --input (a snapshot table) "
-        "that no log entry references (--output ignored)",
+        "that no log entry references (--output ignored); "
+        "resample: dense per-conversation --bucket-seconds grid with turn "
+        "counts, text-byte sums and (with --ffill-col) the forward-filled "
+        "last value; "
+        "scd2: compress the --scd2-attr changelog into validity intervals "
+        "(type-2 dimension history)",
     )
     p.add_argument("--zorder-by", default=None,
                    help="--mode zorder: comma-separated numeric/string "
@@ -77,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "bucket; every row of a conv must land in one stable "
                    "bucket")
     p.add_argument("--probes", help="probe table path (entity_id, probe_ts) for --mode asof")
+    p.add_argument("--bucket-seconds", type=float, default=3600.0,
+                   help="--mode resample: grid bucket width in seconds")
+    p.add_argument("--ffill-col", default=None,
+                   help="--mode resample: column to forward-fill onto the grid")
+    p.add_argument("--scd2-attr", default="tool",
+                   help="--mode scd2: attribute column whose run history to build")
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument(
         "--engine",
@@ -369,6 +380,33 @@ def run(argv: list[str] | None = None) -> int:
             with open(args.expectations) as fh:
                 specs = json.load(fh)
             return check_expectations(df, expectations_from_specs(specs))
+        if args.mode == "resample":
+            from pyspark.sql import functions as F
+
+            from flow_feature_spark.timeseries import resample_counts
+
+            turns = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).withColumn("text_bytes", F.length(F.coalesce("text", F.lit(""))))
+            return resample_counts(
+                turns, "conv_id", "ts_us",
+                bucket_us=int(args.bucket_seconds * 1_000_000),
+                sum_col="text_bytes",
+                ffill_col=args.ffill_col,
+                tiebreak_col="turn_idx",
+            )
+        if args.mode == "scd2":
+            from pyspark.sql import functions as F
+
+            from flow_feature_spark.featurestore import build_scd2
+
+            turns = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            return build_scd2(
+                turns, ["conv_id"], "ts_us", [args.scd2_attr],
+                tiebreak_cols=["turn_idx"],
+            )
         if args.mode == "rollup":
             from flow_feature_spark.rollup import time_rollup
 
@@ -518,6 +556,9 @@ def run(argv: list[str] | None = None) -> int:
             f"fmt={args.input_format}",
             f"pb={args.partition_by}",
             f"exp={args.expectations if args.mode == 'quality' else None}",
+            f"rs={args.bucket_seconds}:{args.ffill_col}"
+            if args.mode == "resample" else "rs=None",
+            f"scd2={args.scd2_attr}" if args.mode == "scd2" else "scd2=None",
         ])
         out, resumed = resume_or_compute(
             spark, args.checkpoint, args.mode, compute,

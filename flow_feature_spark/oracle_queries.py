@@ -1566,3 +1566,15 @@ SELECT user_id, tier,
        ) AS bigint) AS valid_to_us
 FROM runs
 """
+
+
+def melt_long_sql(dialect: str) -> str:
+    """Wide->long melt oracle: the pivot oracle's wide frame unpivoted back
+    to (user_id, category, n) via UNION ALL — the literal definition of the
+    melt rollup.unpivot_counts performs with one Expand."""
+    wide = tool_pivot_sql(dialect).strip().rstrip()
+    cols = [f"n_{v}" for v in PIVOT_VALUES] + ["n_total"]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT user_id, '{c}' AS category, {c} AS n FROM w" for c in cols
+    )
+    return f"WITH w AS (\n{wide}\n)\n{arms}"

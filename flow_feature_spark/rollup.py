@@ -90,6 +90,35 @@ def pivot_counts(
     return df.groupBy(group_col).agg(*aggs)
 
 
+def unpivot_counts(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "category",
+    val_name: str = "n",
+) -> DataFrame:
+    """Wide->long reshaping (melt), the exact dual of ``pivot_counts``:
+    one output row per (id row x value column), the column name in
+    ``var_name`` and its value in ``val_name``.
+
+    Spark's native ``unpivot`` compiles to ONE Expand node — each input row
+    fans out map-side to len(value_cols) rows with zero shuffle (the same
+    plan shape ROLLUP/CUBE use), so melting a 100-TB wide table is a scan,
+    not a join. ``unpivot_counts(pivot_counts(df)) == groupBy counts``
+    round-trip is pinned in tests and by the driver query ``melt_long``.
+
+    Reference basis: the reference emits its 72 features as fixed wide
+    columns (flow.py:193-203); long form is what drift monitors and the
+    profiler consume (profile.py uses the same stack shape internally).
+    """
+    missing = [c for c in id_cols + value_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unpivot_counts: missing columns {missing}")
+    if not value_cols:
+        raise ValueError("unpivot_counts requires at least one value column")
+    return df.unpivot(id_cols, value_cols, var_name, val_name)
+
+
 def hopping_window_counts(
     df: DataFrame,
     ts_col: str = "ts",

@@ -134,3 +134,34 @@ def test_tfidf_op(spark, docs_path, tmp_path):
         "--tfidf-k", "3", "--log-idf",
     ]) == 0
     assert spark.read.parquet(out2).count() > 0
+
+
+def test_fuzzy_op(spark, docs_path, tmp_path):
+    """--op fuzzy: doc 41 shares doc 0's 16-char prefix (identical text
+    start), so at least that distance-0 pair must surface; output schema is
+    the pair frame."""
+    out = f"{tmp_path}/fz"
+    assert corpus_job.run([
+        "--input", docs_path, "--output", out, "--op", "fuzzy",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id_a", "id_b", "dist"}
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in got.collect()}
+    assert pairs[(0, 41)] == 0  # identical prefixes
+    assert all(d <= 1 for d in pairs.values())
+
+
+def test_fuzzy_op_custom_column_and_distance(spark, tmp_path):
+    path = str(tmp_path / "short")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alphb"), (3, "alxyz")],
+        "doc_id long, name string",
+    ).write.mode("overwrite").parquet(path)
+    out = f"{tmp_path}/fz2"
+    assert corpus_job.run([
+        "--input", path, "--output", out, "--op", "fuzzy",
+        "--fuzzy-col", "name", "--max-distance", "2",
+    ]) == 0
+    pairs = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in spark.read.parquet(out).collect()}
+    assert pairs == {(1, 2): 1}  # alpha~alphb=1; alxyz is 3 away from both

@@ -574,3 +574,49 @@ def test_job_zorder_and_vacuum_modes(spark, tmp_path):
     assert job.run(["--input", tbl, "--output", "ignored", "--mode", "vacuum"]) == 0
     assert vacuum_table(spark, tbl)["removed"] == []  # already clean
     assert read_snapshot(spark, tbl).count() == 7
+
+
+def test_job_resample_mode(spark, tmp_path):
+    """--mode resample: dense per-conv grid; counts sum to the turn count
+    and the grid is gap-free per conversation."""
+    inp, out = f"{tmp_path}/in_rs", f"{tmp_path}/out_rs"
+    _write_input(spark, inp)
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "resample",
+        "--bucket-seconds", "600", "--ffill-col", "role",
+    ]) == 0
+    got = spark.read.parquet(out)
+    n_turns = spark.read.parquet(inp).count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_turns
+    assert "role_ffill" in got.columns
+    # dense: per conv, bucket_idx is a contiguous range
+    per = got.groupBy("conv_id").agg(
+        F.min("bucket_idx").alias("lo"), F.max("bucket_idx").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in per:
+        assert r["n"] == r["hi"] - r["lo"] + 1
+
+
+def test_job_scd2_mode(spark, tmp_path):
+    """--mode scd2: validity intervals per conv for the tool attribute;
+    exactly one open interval per conv, adjacent runs differ."""
+    inp, out = f"{tmp_path}/in_s2", f"{tmp_path}/out_s2"
+    _write_input(spark, inp)
+    assert job.run([
+        "--input", inp, "--output", out, "--mode", "scd2",
+        "--scd2-attr", "tool",
+    ]) == 0
+    got = spark.read.parquet(out).collect()
+    by_conv: dict = {}
+    for r in got:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert by_conv
+    for conv, rows in by_conv.items():
+        rows.sort(key=lambda r: r["valid_from_us"])
+        opens = [r for r in rows if r["valid_to_us"] is None]
+        assert len(opens) == 1 and opens[0] is rows[-1], conv
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], conv
+            assert a["tool"] != b["tool"] or (
+                a["tool"] is None) != (b["tool"] is None), conv

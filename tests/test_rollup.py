@@ -162,3 +162,42 @@ def test_hopping_window_approx_twin(spark):
         assert (a["n_events"], a["bytes_total"], a["win_end_us"]) == (
             e["n_events"], e["bytes_total"], e["win_end_us"])
         assert abs(a["n_users"] - e["n_users"]) <= max(3, 0.15 * e["n_users"])
+
+
+def test_unpivot_roundtrips_pivot_and_expands_mapside(spark):
+    """melt(pivot(df)) == the direct long counts, zero cells included; the
+    melt itself is an Expand (no exchange added past the pivot's agg)."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.rollup import pivot_counts, unpivot_counts
+
+    rows = [("u1", "a"), ("u1", "a"), ("u1", "b"), ("u2", "b"), ("u3", "c")]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    wide = pivot_counts(df, "user_id", "event_type", values=["a", "b"])
+    long = unpivot_counts(wide, ["user_id"], ["n_a", "n_b", "n_total"])
+    got = {(r["user_id"], r["category"]): r["n"] for r in long.collect()}
+    assert got == {
+        ("u1", "n_a"): 2, ("u1", "n_b"): 1, ("u1", "n_total"): 3,
+        ("u2", "n_a"): 0, ("u2", "n_b"): 1, ("u2", "n_total"): 1,
+        ("u3", "n_a"): 0, ("u3", "n_b"): 0, ("u3", "n_total"): 1,  # unlisted 'c' counts in total
+    }
+    plan = long._sc._jvm.PythonSQLUtils.explainString(
+        long._jdf.queryExecution(), "simple")
+    # AQE's final explain repeats the plan (Final + Initial) — inspect the
+    # executed section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final
+    # melt adds no exchange beyond the pivot aggregate's single shuffle
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_rejects_missing_and_empty_columns(spark):
+    import pytest as _pytest
+
+    from flow_feature_spark.rollup import unpivot_counts
+
+    df = spark.createDataFrame([("u", 1)], "user_id string, n_a long")
+    with _pytest.raises(ValueError, match="missing"):
+        unpivot_counts(df, ["user_id"], ["n_zz"])
+    with _pytest.raises(ValueError, match="at least one"):
+        unpivot_counts(df, ["user_id"], [])
