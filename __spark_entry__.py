@@ -517,6 +517,31 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                       tiebreak_cols=["event_id"])
 
 
+def q_scd2_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 attach half: every event probes the tier SCD2 history at its own
+    timestamp (featurestore.attach_scd2 — inclusive union-window as-of);
+    oracle is DuckDB's native ASOF LEFT JOIN, an independent implementation."""
+    from flow_feature_spark.featurestore import attach_scd2, build_scd2
+
+    base = _events_us(spark, sf_dir)
+    cl = base.select(
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") / F.lit(100)).cast("long").alias("tier"),
+        "event_id",
+    )
+    dim = build_scd2(cl, ["user_id"], "ts_us", ["tier"],
+                     tiebreak_cols=["event_id"])
+    probes = base.select("user_id", F.col("ts_us").alias("t_us"), "event_id")
+    out = attach_scd2(probes, dim, "user_id", "t_us", ["tier"])
+    # the union-window attach normalizes the entity key to string; restore
+    # the table's bigint key for the oracle compare
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id", "t_us", "tier", "valid_from_us",
+    )
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15: edit-distance<=1 fuzzy join over document title proxies via the
     deletion-neighborhood banding (ops.fuzzy.edit_distance_pairs); must
@@ -1295,8 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
-        # transcript feature engine (SQL-templated pairs)
-        "sessionize_counts": _sql(OQ.sessionize_counts_sql),
+        # transcript feature engine (SQL-templated pairs); sessionize_counts
+        # rotated to the tail in r5s5 (green r1-r4; its oracle stays in-window
+        # via stream_counts, and sessionize_bucketed shares it in the tail)
         "stream_counts": q_stream_counts,
         "stream_features": q_stream_features,
         "session_features_sql": _sql(OQ.feature_vector_sql),
@@ -1340,9 +1366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "merge_intervals": q_merge_intervals,
         "scd2_build": q_scd2_build,
+        "scd2_attach": q_scd2_attach,
         "fuzzy_pairs": q_fuzzy_pairs,
         "melt_long": q_melt_long,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
+        "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1426,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_counts": OQ.decayed_sql(d),
         "merge_intervals": OQ.merge_intervals_sql(d),
         "scd2_build": OQ.scd2_sql(d),
+        "scd2_attach": OQ.scd2_attach_sql(d),
         "fuzzy_pairs": OD.fuzzy_pairs_sql(d),
         "melt_long": OQ.melt_long_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),

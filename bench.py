@@ -146,7 +146,9 @@ def main() -> int:
             "decayed_counts",
             "merge_intervals",
             "scd2_build",
+            "scd2_attach",
             "fuzzy_pairs",
+            "melt_long",
             "asof_forward",
             "tpch_q1",
             "broadcast_join",

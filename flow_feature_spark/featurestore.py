@@ -297,3 +297,53 @@ def build_scd2(
         .withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
         .select(*key_cols, *attr_cols, "valid_from_us", "valid_to_us")
     )
+
+
+def attach_scd2(
+    probes: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    probe_ts_us_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time attach of a ``build_scd2`` dimension history to a probe
+    frame: each probe row gains the attribute values that were valid AT its
+    timestamp (run with ``valid_from <= t < valid_to``), plus the run's
+    ``valid_from_us`` for lineage. Probes before the key's first run (or
+    with no dimension key) keep NULL attributes — probe rows never drop.
+
+    Because SCD2 runs partition ``[first_from, inf)`` per key, "the run
+    containing t" equals "the latest run with valid_from <= t", so this is
+    the INCLUSIVE union-and-window as-of join (J1's formulation — one
+    exchange, no interval containment join needed); equality with the
+    brute-force interval lookup is pinned in tests.
+    """
+    missing = [c for c in attr_cols if c not in dim.columns]
+    if missing:
+        raise ValueError(f"attach_scd2: dim lacks attribute columns {missing}")
+    clash = [c for c in ["valid_from_us", *attr_cols] if c in probes.columns]
+    if clash:
+        raise ValueError(
+            f"attach_scd2: probe columns {clash} clash with attached names; "
+            "rename them first (silent overwrite would corrupt the probes)"
+        )
+    d = dim.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("valid_from_us")).alias("__dim_ts"),
+        F.col("valid_from_us"),
+        *[F.col(c) for c in attr_cols],
+    )
+    p = probes.withColumn(
+        "__probe_ts", F.timestamp_micros(F.col(probe_ts_us_col).cast("long"))
+    )
+    out = build_training_set(
+        p,
+        {"dim": FeatureGroup(d, entity_col=key_col, ts_col="__dim_ts",
+                             strict=False)},  # a run is visible AT its
+        # valid_from (half-open [from, to) -> inclusive as-of)
+        probe_entity=key_col,
+        probe_ts="__probe_ts",
+    ).drop("__probe_ts")
+    for c in ["valid_from_us", *attr_cols]:
+        out = out.withColumnRenamed(f"dim__{c}", c)
+    return out

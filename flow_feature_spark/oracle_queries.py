@@ -1578,3 +1578,24 @@ def melt_long_sql(dialect: str) -> str:
         f"SELECT user_id, '{c}' AS category, {c} AS n FROM w" for c in cols
     )
     return f"WITH w AS (\n{wide}\n)\n{arms}"
+
+
+def scd2_attach_sql(dialect: str) -> str:
+    """Point-in-time SCD2 attach oracle: every event probes the tier
+    history at its own timestamp via DuckDB's native ASOF LEFT JOIN (an
+    independent implementation of featurestore.attach_scd2's union-window
+    formulation). Inclusive at valid_from (>=), NULLs before the first run."""
+    ts = _epoch_us(dialect)
+    return f"""
+WITH p AS (
+  SELECT user_id, {ts} AS t_us, event_id FROM events
+)
+SELECT p.user_id,
+       p.event_id,
+       cast(p.t_us AS bigint)          AS t_us,
+       d.tier,
+       d.valid_from_us
+FROM p
+ASOF LEFT JOIN ({scd2_sql(dialect)}) d
+  ON p.user_id = d.user_id AND p.t_us >= d.valid_from_us
+"""

@@ -119,3 +119,60 @@ def test_scd2_requires_keys_and_attrs(spark):
         build_scd2(df, [], "ts_us", ["v"])
     with pytest.raises(ValueError):
         build_scd2(df, ["k"], "ts_us", [])
+
+
+def test_attach_scd2_matches_interval_lookup_randomized(spark):
+    """attach_scd2(probes, build_scd2(changelog)) == brute-force 'value of
+    the run containing t' (valid_from <= t < valid_to), probes before the
+    first run get NULLs, probe rows never drop."""
+    from flow_feature_spark.featurestore import attach_scd2, build_scd2
+
+    rng = random.Random(17)
+    rows, seen = [], set()
+    for i in range(400):
+        k, ts = f"k{rng.randrange(6)}", rng.randrange(0, 300)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rows.append((k, ts, rng.choice(["A", "B", "C"]), i))
+    dim = build_scd2(_df(spark, rows), ["k"], "ts_us", ["v"],
+                     tiebreak_cols=["seq"])
+    probes = spark.createDataFrame(
+        [(f"k{rng.randrange(7)}", rng.randrange(-10, 320), i)
+         for i in range(300)],
+        "k string, t_us long, probe_id long",
+    )
+    got = {
+        r["probe_id"]: (r["v"], r["valid_from_us"])
+        for r in attach_scd2(probes, dim, "k", "t_us", ["v"]).collect()
+    }
+    runs = {}
+    for r in dim.collect():
+        runs.setdefault(r["k"], []).append(
+            (r["valid_from_us"], r["valid_to_us"], r["v"])
+        )
+    assert len(got) == 300  # no probe dropped
+    for p in probes.collect():
+        want = (None, None)
+        for frm, to, v in runs.get(p["k"], []):
+            if frm <= p["t_us"] and (to is None or p["t_us"] < to):
+                want = (v, frm)
+        assert got[p["probe_id"]] == want, p
+
+
+def test_attach_scd2_inclusive_at_valid_from_and_missing_attr_wall(spark):
+    from flow_feature_spark.featurestore import attach_scd2, build_scd2
+
+    dim = build_scd2(
+        _df(spark, [("k", 10, "A", 0), ("k", 20, "B", 1)]),
+        ["k"], "ts_us", ["v"],
+    )
+    probes = spark.createDataFrame(
+        [("k", 9, 0), ("k", 10, 1), ("k", 20, 2)],
+        "k string, t_us long, probe_id long",
+    )
+    got = {r["probe_id"]: r["v"]
+           for r in attach_scd2(probes, dim, "k", "t_us", ["v"]).collect()}
+    assert got == {0: None, 1: "A", 2: "B"}  # inclusive at the boundary
+    with pytest.raises(ValueError, match="lacks attribute"):
+        attach_scd2(probes, dim, "k", "t_us", ["nope"])
