@@ -195,6 +195,34 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+    # 5. time-series family plan shapes (r5s5): the resample grid must be
+    # ONE scan (the gap-explode formulation — a span-join regression would
+    # show a second FileScan) and at most 2 exchanges; scd2/merge_intervals
+    # are single-exchange window chains; melt is an Expand with no exchange
+    # beyond the pivot aggregate.
+    rs = e.queries()["resample_ffill"](spark, sf_dir)
+    p5 = plan_of(rs, "simple")
+    check("resample grid is ONE scan", p5.count("FileScan") == 1,
+          f"{p5.count('FileScan')} scans")
+    n_ex = p5.count("Exchange hashpartitioning")
+    check("resample has <= 2 exchanges (agg + entity window)", n_ex <= 2,
+          f"found {n_ex}")
+    for qname in ("scd2_build", "merge_intervals"):
+        pq = plan_of(e.queries()[qname](spark, sf_dir), "simple")
+        n_ex = pq.count("Exchange hashpartitioning")
+        check(f"{qname} is a single-exchange window chain", n_ex == 1,
+              f"found {n_ex}")
+    ml = plan_of(e.queries()["melt_long"](spark, sf_dir), "simple")
+    check("melt is Expand with only the pivot's exchange",
+          "Expand" in ml and ml.count("Exchange hashpartitioning") == 1,
+          f"expand={'Expand' in ml} ex={ml.count('Exchange hashpartitioning')}")
+    # fuzzy join: variant generation must be JVM-side (no Python eval in
+    # plan) and the verify is an equi join, never a cartesian
+    fz = plan_of(e.queries()["fuzzy_pairs"](spark, sf_dir), "simple")
+    check("fuzzy join is equi (no cartesian, no Python eval)",
+          "CartesianProduct" not in fz and "BatchEvalPython" not in fz
+          and "ArrowEvalPython" not in fz)
+
     spark.stop()
     print("\nAll checks passed" if not failures else f"\nFAILED: {failures}")
     return 1 if failures else 0
