@@ -371,6 +371,69 @@ def q_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20's ONLINE half as a driver query: stream_decayed_counts
+    (applyInPandasWithState, ring-of-lookback state, watermark-gated bucket
+    completion) replayed over the events table must equal the BATCH decayed
+    grid bit-for-bit — same staged-replay mechanics as q_stream_features
+    (data batch, then two far-future advancer events of a sentinel user that
+    push the watermark past every pending bucket; sentinel filtered out)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from flow_feature_spark.streaming import stream_decayed_counts
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "ts_us",
+    )
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    advancers = [
+        spark.createDataFrame(
+            [(-1, max_us + off)], "user_id long, ts_us long"
+        ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "ts_us")
+        for off in (2 * OQ.RESAMPLE_BUCKET_US, 4 * OQ.RESAMPLE_BUCKET_US)
+    ]
+    path = tempfile.mkdtemp(prefix="ffs_stream_decay_") + "/in"
+    for i, df in enumerate([ev, *advancers]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = _time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    name = f"stream_decay_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_decayed_counts(
+            stream, "user_id", "ts",
+            bucket_us=OQ.RESAMPLE_BUCKET_US, lookback=20,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        "user_id", "bucket_idx", "bucket_start_us",
+        "n_events", "decayed_num", "decayed",
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered k-step funnel with a 1-day conversion window — k chained
     full-partition window mins over ONE user-key exchange (never a join per
@@ -1345,8 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
-        # relational operator coverage
-        "broadcast_join": _sql(OQ.broadcast_join_sql),
+        # relational operator coverage (broadcast_join rotated to the tail
+        # r5s5 — green r1-r4, J2 evidence overwhelming)
         "semi_anti_join": _sql(OQ.semi_anti_sql),
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_merge": q_snapshot_merge,
@@ -1364,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked -> in-window; the displaced tail entries are all r4-green)
         "resample_ffill": q_resample_ffill,
         "decayed_counts": q_decayed_counts,
+        "stream_decayed": q_stream_decayed,
         "merge_intervals": q_merge_intervals,
         "scd2_build": q_scd2_build,
         "scd2_attach": q_scd2_attach,
@@ -1371,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_long": q_melt_long,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
+        "broadcast_join": _sql(OQ.broadcast_join_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1452,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_percentiles": OQ.gap_percentiles_sql(d),
         "resample_ffill": OQ.resample_sql(d),
         "decayed_counts": OQ.decayed_sql(d),
+        "stream_decayed": OQ.decayed_sql(d),
         "merge_intervals": OQ.merge_intervals_sql(d),
         "scd2_build": OQ.scd2_sql(d),
         "scd2_attach": OQ.scd2_attach_sql(d),

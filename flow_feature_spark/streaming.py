@@ -493,3 +493,147 @@ def stream_append_snapshot(
     )
     q.awaitTermination()
     return q
+
+
+def stream_decayed_counts(
+    stream_events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 21_600_000_000,
+    lookback: int = 20,
+    watermark: str = "0 seconds",
+):
+    """Streaming half-life decayed counts — the online twin of
+    ``timeseries.decayed_counts`` (W20), emitting the SAME dense grid rows
+    (entity, bucket_idx, bucket_start_us, n_events, decayed_num, decayed)
+    incrementally as the watermark completes buckets.
+
+    Per entity the state is O(lookback + in-flight buckets): a ring of the
+    last ``lookback+1`` completed bucket counts (all the decay formula ever
+    needs) plus a pending histogram of buckets the watermark has not passed
+    yet — NEVER the events themselves. A bucket is final once
+    ``(b+1)*bucket_us <= watermark`` (nothing earlier can still arrive), at
+    which point it is folded into the ring and emitted with the exact
+    integer numerator ``sum_j c_{b-j} * 2^(lookback-j)`` — bit-identical to
+    the batch operator, which is how the driver grades it (query
+    ``stream_decayed`` shares the batch oracle). Gap buckets emit with
+    count 0, exactly like the batch grid; the grid starts at the entity's
+    first event bucket (safe: emission starts only below the watermark, so
+    no earlier event can appear later) and ends at its last event bucket.
+
+    Tail flush: each update arms an EventTimeTimeout for when the watermark
+    passes the last pending bucket's end; the timed-out invocation drains
+    the remaining buckets and drops the state.
+
+    Reference basis: the online sibling of the same aggregates the reference
+    computes batch-only (flow_basic.py:41-76 incremental counters); not in
+    the reference's scope (it has no streaming runtime).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0 < lookback <= 61:
+        raise ValueError("lookback must be in 1..61")
+    K = lookback
+    den = float(1 << K)
+    NONE = -(1 << 62)  # sentinel: no bucket emitted yet (state must be non-null)
+
+    ent_type = stream_events.schema[entity_col].dataType
+    out_schema = T.StructType([
+        T.StructField(entity_col, ent_type),
+        T.StructField("bucket_idx", T.LongType()),
+        T.StructField("bucket_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("decayed_num", T.LongType()),
+        T.StructField("decayed", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_done", T.LongType()),
+        T.StructField("ring", T.ArrayType(T.LongType())),
+        T.StructField("pend_b", T.ArrayType(T.LongType())),
+        T.StructField("pend_c", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key, pdf_iter, state: GroupState):
+        entity = key[0]
+        if state.exists:
+            last_done, ring, pend_b, pend_c = state.get
+            ring = list(ring)
+            pending = dict(zip(pend_b, pend_c))
+        else:
+            last_done, ring, pending = NONE, [0] * (K + 1), {}
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            bks = (pdf["ts_us"].astype("int64") // bucket_us)
+            for b, c in bks.value_counts().items():
+                pending[int(b)] = pending.get(int(b), 0) + int(c)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        max_seen = max(pending) if pending else last_done
+        # bucket b is final iff its end <= watermark; grid never extends past
+        # the entity's last event bucket
+        emit_hi = min(wm_us // bucket_us - 1, max_seen)
+        start = last_done + 1 if last_done != NONE else (
+            min(pending) if pending else None
+        )
+
+        rows = []
+        if start is not None and max_seen != NONE:
+            b = start
+            while b <= emit_hi:
+                c = pending.pop(b, 0)
+                ring.pop(0)
+                ring.append(int(c))
+                num = sum(ring[i] << i for i in range(K + 1))
+                rows.append((entity, b, b * bucket_us, int(c), num, num / den))
+                last_done = b
+                b += 1
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                entity_col, "bucket_idx", "bucket_start_us",
+                "n_events", "decayed_num", "decayed",
+            ])
+
+        # State lifecycle: the ring must SURVIVE a full drain — it is the
+        # decay history a later event continues from. It may only expire
+        # after lookback+1 silent buckets, when it is provably all zeros
+        # (expired state == fresh state, so dropping it is exact).
+        if pending:
+            # flush when the watermark passes the last pending bucket's end
+            expire_b = max(pending)
+        elif last_done == NONE:
+            state.remove()
+            return
+        else:
+            expire_b = last_done + K + 1
+            if wm_us // bucket_us - 1 >= expire_b:
+                state.remove()
+                return
+        state.update((
+            int(last_done),
+            [int(x) for x in ring],
+            [int(b) for b in sorted(pending)],
+            [int(pending[b]) for b in sorted(pending)],
+        ))
+        need_ms = ((expire_b + 1) * bucket_us) // 1000
+        state.setTimeoutTimestamp(
+            max(need_ms + 1, state.getCurrentWatermarkMs() + 1)
+        )
+
+    src = stream_events.select(
+        F.col(entity_col),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    ).withWatermark("ts", watermark)
+    return src.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

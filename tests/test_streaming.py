@@ -709,3 +709,165 @@ def test_compact_snapshot_collapses_chain_history_preserved(spark, tmp_path):
     # history preserved: the pre-compaction snapshot still reads
     assert read_snapshot(spark, tbl, snapshot_id=4).count() == 40
     assert read_snapshot(spark, tbl, snapshot_id=1).count() == 10
+
+
+def test_stream_decayed_counts_matches_batch_grid(spark):
+    """stream_decayed_counts over a staged multi-micro-batch replay emits
+    EXACTLY the batch dense grid (gap buckets included, decayed_num
+    bit-identical), and state expires after lookback+1 silent buckets."""
+    import os
+    import random
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.streaming import stream_decayed_counts
+    from flow_feature_spark.timeseries import decayed_counts, resample_counts
+
+    B_US = 1_000_000  # 1s buckets
+    K = 6
+    rng = random.Random(23)
+    rows = []
+    for i in range(400):
+        # clustered with deliberate multi-bucket gaps
+        base = rng.choice([0, 15, 40]) * B_US
+        rows.append((
+            rng.randrange(5),
+            base + rng.randrange(0, 10 * B_US),
+            i,
+        ))
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, i long").select(
+        "user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us"
+    )
+
+    path = tempfile.mkdtemp(prefix="ffs_sdecay_") + "/in"
+    max_us = ev.agg(F2.max("ts_us")).collect()[0][0]
+    # split data into two micro-batches + two far-future advancers
+    half = ev.filter(F2.col("ts_us") % 2 == 0)
+    half2 = ev.filter(F2.col("ts_us") % 2 == 1)
+    advancers = [
+        spark.createDataFrame(
+            [(-1, max_us + off)], "user_id long, ts_us long"
+        ).select("user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us")
+        for off in (3600 * B_US, 7200 * B_US)
+    ]
+    for i, df in enumerate([half, half2, *advancers]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    q = (
+        stream_decayed_counts(stream, "user_id", "ts", B_US, lookback=K)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdecay_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["bucket_idx"]):
+            (r["bucket_start_us"], r["n_events"], r["decayed_num"], r["decayed"])
+        for r in spark.sql(
+            "SELECT * FROM sdecay_out WHERE user_id >= 0"
+        ).collect()
+    }
+    grid = resample_counts(
+        ev.select("user_id", "ts_us"), "user_id", "ts_us", B_US
+    )
+    want = {
+        (r["user_id"], r["bucket_idx"]):
+            (r["bucket_start_us"], r["n_events"], r["decayed_num"], r["decayed"])
+        for r in decayed_counts(grid, "user_id", "bucket_idx", "n_events",
+                                lookback=K).collect()
+    }
+    assert set(got) == set(want), (
+        len(got), len(want),
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5],
+    )
+    assert got == want
+
+
+def test_stream_decayed_state_continues_across_silent_gap(spark):
+    """An entity that goes silent for < lookback buckets and returns must
+    continue its decay history (the ring survives a full drain) — pinned by
+    comparing against the batch grid whose lag window spans the gap."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.streaming import stream_decayed_counts
+    from flow_feature_spark.timeseries import decayed_counts, resample_counts
+
+    B_US = 1_000_000
+    K = 8
+    # burst at bucket E (8 events), silence for 4 buckets, one event 5
+    # buckets later: its decay must still carry the burst. Timestamps sit at
+    # a realistic epoch: rows at/below the INITIAL watermark (epoch 0) are
+    # dropped by Spark's stateful late-row filter, so ts=0 never reaches fn.
+    E_US = 1_700_000_000 * 1_000_000
+    rows = [(1, E_US + i * 1000, i) for i in range(8)] + [
+        (1, E_US + 5 * B_US + 10, 99)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, i long").select(
+        "user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us"
+    )
+    path = tempfile.mkdtemp(prefix="ffs_sdecay2_") + "/in"
+    # burst batch, then the late event, then an advancer — three triggers, so
+    # the burst's buckets drain fully BEFORE the late event arrives
+    burst = ev.filter(F2.col("ts_us") < E_US + B_US)
+    late = ev.filter(F2.col("ts_us") >= E_US + B_US)
+    adv = spark.createDataFrame(
+        [(-1, E_US + 3600 * B_US)], "user_id long, ts_us long"
+    ).select("user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us")
+    for i, df in enumerate([burst, late, adv]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    q = (
+        stream_decayed_counts(stream, "user_id", "ts", B_US, lookback=K)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdecay2_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["bucket_idx"]: r["decayed_num"]
+        for r in spark.sql(
+            "SELECT * FROM sdecay2_out WHERE user_id = 1"
+        ).collect()
+    }
+    grid = resample_counts(
+        ev.select("user_id", "ts_us"), "user_id", "ts_us", B_US
+    )
+    want = {
+        r["bucket_idx"]: r["decayed_num"]
+        for r in decayed_counts(grid, "user_id", "bucket_idx", "n_events",
+                                lookback=K).collect()
+    }
+    assert got == want
+    # the gap really was spanned: the late bucket carries the burst's mass
+    b0 = E_US // B_US
+    assert got[b0 + 5] == (8 << (K - 5)) + (1 << K)
