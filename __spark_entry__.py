@@ -434,6 +434,19 @@ def q_stream_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21: robust per-user MAD outlier flags on event values
+    (analytics.mad_outlier_flags — exact interpolated median/MAD, never an
+    engine-internal percentile; flags bit-identical cross-engine)."""
+    from flow_feature_spark.analytics import mad_outlier_flags
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    out = mad_outlier_flags(ev, ["user_id"], "value", k=3.0)
+    return out.select("user_id", "event_id", "value", "med", "mad", "is_outlier")
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered k-step funnel with a 1-day conversion window — k chained
     full-partition window mins over ONE user-key exchange (never a join per
@@ -1405,12 +1418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "transition_matrix": q_transition_matrix,
         "histogram_drift": q_histogram_drift,
+        "mad_outliers": q_mad_outliers,
         "hopping_window": q_hopping_window,
         "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
-        # relational operator coverage (broadcast_join rotated to the tail
-        # r5s5 — green r1-r4, J2 evidence overwhelming)
-        "semi_anti_join": _sql(OQ.semi_anti_sql),
+        # relational operator coverage rotated to the tail r5s5 — both
+        # green r1-r4, J2/J3 evidence overwhelming
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
@@ -1436,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
+        "semi_anti_join": _sql(OQ.semi_anti_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1510,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": OQ.cohort_retention_sql(d),
         "transition_matrix": OQ.transition_counts_sql(d),
         "hopping_window": OQ.hopping_window_sql(d),
+        "mad_outliers": OQ.mad_outliers_sql(d),
         "histogram_drift": OQ.histogram_drift_sql(
             d, value_sql="value", n_bins=20, lo=0.0, hi=100.0
         ),

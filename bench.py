@@ -135,6 +135,7 @@ def main() -> int:
             "cohort_retention",
             "transition_matrix",
             "histogram_drift",
+            "mad_outliers",
             "zscore_normalize",
             "table_profile",
             "training_set",

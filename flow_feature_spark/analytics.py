@@ -366,3 +366,69 @@ def histogram_drift(
     return hist.select(
         "bin_idx", "n_ref", "n_cur", term.cast("double").alias("chi2_term")
     )
+
+
+def _interp_median(df: DataFrame, group_cols: list[str], value_col: str,
+                   out_name: str) -> DataFrame:
+    """Exact (n-1)*0.5 linear-interpolation median per group — the
+    gap_percentiles recipe (deterministic neighbor pick + one interpolation
+    in double, bit-identical cross-engine) as a reusable step. Rank ties on
+    equal values are harmless: the neighbors are equal, so the interpolated
+    value is identical regardless of tie order."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    v = F.col(value_col).cast("double")
+    r = df.withColumn("_rk", F.row_number().over(w).cast("long") - 1) \
+          .withColumn("_n", F.count(F.lit(1)).over(
+              Window.partitionBy(*group_cols)).cast("long"))
+    lo_idx = F.floor((F.col("_n") - 1) * F.lit(0.5)).cast("long")
+    hi_idx = F.least(lo_idx + 1, F.col("_n") - 1)
+    frac = (F.col("_n") - 1) * F.lit(0.5) - F.floor((F.col("_n") - 1) * F.lit(0.5))
+    agg = r.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("_rk") == lo_idx, v)).alias("_lo"),
+        F.max(F.when(F.col("_rk") == hi_idx, v)).alias("_hi"),
+        F.min(frac).alias("_frac"),
+    )
+    med = F.col("_lo") + (F.col("_hi") - F.col("_lo")) * F.col("_frac")
+    return agg.select(*group_cols, med.alias(out_name))
+
+
+def mad_outlier_flags(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: |v - median| > k * MAD, where MAD is
+    the median absolute deviation (median of |v - median|). Median/MAD use
+    exact deterministic interpolation (never an engine-internal percentile,
+    whose float-op order differs across engines), so the emitted statistics
+    and flags are bit-identical cross-engine — driver query ``mad_outliers``.
+
+    Robustness rationale: mean/std (the z-score family, W11) are themselves
+    dragged by the outliers they are meant to find; median/MAD have a 50%
+    breakdown point. The classic 1.4826 normal-consistency factor is NOT
+    baked in — fold it into ``k`` (e.g. k=3*1.4826) when the normal-scale
+    convention is wanted. MAD=0 groups (over half the values identical)
+    flag any deviation, the standard convention.
+
+    Scale shape: two rank-window + aggregate rounds and two group-keyed
+    joins, all hash-partitioned on the SAME group key — 100-TB cost is a
+    few co-keyed exchanges, never a sort of the whole table by value.
+    Reference basis: the robust twin of the reference's per-flow mean/std
+    vector entries (flow.py:148-171).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    med = _interp_median(df, group_cols, value_col, "_med")
+    with_med = df.join(med, group_cols, "inner").withColumn(
+        "_absdev", F.abs(F.col(value_col).cast("double") - F.col("_med"))
+    )
+    mad = _interp_median(with_med, group_cols, "_absdev", "_mad")
+    out = with_med.join(mad, group_cols, "inner")
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return (
+        out.withColumn("is_outlier", F.col("_absdev") > F.lit(float(k)) * F.col("_mad"))
+        .withColumn("med", r6(F.col("_med")))
+        .withColumn("mad", r6(F.col("_mad")))
+        .drop("_med", "_mad", "_absdev")
+    )

@@ -1599,3 +1599,46 @@ FROM p
 ASOF LEFT JOIN ({scd2_sql(dialect)}) d
   ON p.user_id = d.user_id AND p.t_us >= d.valid_from_us
 """
+
+
+def mad_outliers_sql(dialect: str, k: float = 3.0) -> str:
+    """Robust MAD outlier oracle (mirrors analytics.mad_outlier_flags over
+    events.value per user): exact interpolated median and MAD with the
+    gap_percentiles neighbor-pick recipe, flag = |v - med| > k * mad on the
+    raw doubles, emitted stats r6-rounded."""
+    def med_cte(src: str, val: str, rk: str, out: str) -> str:
+        lo = "cast(floor((n-1)*0.5) AS bigint)"
+        return f"""
+{rk} AS (
+  SELECT *, cast(row_number() OVER (PARTITION BY user_id ORDER BY {val})
+                 AS bigint) - 1 AS rk,
+         cast(count(*) OVER (PARTITION BY user_id) AS bigint) AS n
+  FROM {src}
+),
+{out} AS (
+  SELECT user_id,
+         max(CASE WHEN rk = {lo} THEN cast({val} AS double) END)
+           + (max(CASE WHEN rk = least({lo} + 1, n - 1)
+                       THEN cast({val} AS double) END)
+              - max(CASE WHEN rk = {lo} THEN cast({val} AS double) END))
+             * min((n-1)*0.5 - floor((n-1)*0.5)) AS m
+  FROM {rk} GROUP BY user_id
+)"""
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id, value FROM events
+),{med_cte("v", "value", "r1", "m1")},
+d AS (
+  SELECT v.user_id, v.event_id, v.value,
+         m1.m AS med_raw,
+         abs(cast(v.value AS double) - m1.m) AS absdev
+  FROM v JOIN m1 ON v.user_id = m1.user_id
+),{med_cte("d", "absdev", "r2", "m2")}
+SELECT d.user_id,
+       d.event_id,
+       d.value,
+       floor(d.med_raw * 1e6 + 0.5) / 1e6 AS med,
+       floor(m2.m * 1e6 + 0.5) / 1e6      AS mad,
+       d.absdev > {float(k)!r} * m2.m      AS is_outlier
+FROM d JOIN m2 ON d.user_id = m2.user_id
+"""

@@ -377,3 +377,50 @@ def test_funnel_reanchored_randomized_any_chain_oracle(spark):
                                       conversion_window_seconds=W).collect()}
     assert got == {i: reach[i] for i in range(len(steps))}
     assert reach[1] > 0 and reach[2] > 0  # corpus actually exercises chains
+
+
+def test_mad_outliers_match_numpy_brute_force(spark):
+    """Median/MAD equal numpy's linear-interpolation median per group;
+    flags equal the |v-med| > k*MAD rule."""
+    import random
+
+    import numpy as np
+
+    from flow_feature_spark.analytics import mad_outlier_flags
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(500):
+        g = f"g{rng.randrange(7)}"  # mixes odd/even group sizes
+        rows.append((g, i, rng.uniform(-50, 50) if rng.random() > 0.05
+                     else rng.uniform(500, 900)))
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r["i"]: (r["med"], r["mad"], r["is_outlier"])
+           for r in mad_outlier_flags(df, ["g"], "v", k=3.0).collect()}
+    per = {}
+    for g, i, v in rows:
+        per.setdefault(g, []).append(v)
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for g, i, v in rows:
+        vals = np.array(per[g])
+        med = np.percentile(vals, 50)  # linear interpolation
+        mad = np.percentile(np.abs(vals - med), 50)
+        want = (r6(med), r6(mad), bool(abs(v - med) > 3.0 * mad))
+        got = out[i]
+        assert got[0] == pytest.approx(want[0], abs=1e-9), (g, i)
+        assert got[1] == pytest.approx(want[1], abs=1e-9), (g, i)
+        assert got[2] == want[2], (g, i, v, med, mad)
+
+
+def test_mad_zero_group_flags_any_deviation_and_single_row(spark):
+    from flow_feature_spark.analytics import mad_outlier_flags
+
+    # >50% identical values -> MAD = 0 -> any deviation is an outlier
+    rows = [("a", i, 5.0) for i in range(6)] + [("a", 10, 5.1), ("b", 20, 9.0)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = {r["i"]: r["is_outlier"] for r in
+           mad_outlier_flags(df, ["g"], "v").collect()}
+    assert out[10] is True and all(out[i] is False for i in range(6))
+    assert out[20] is False  # single-row group: med=v, mad=0, dev=0
+    with pytest.raises(ValueError):
+        mad_outlier_flags(df, ["g"], "v", k=0)
