@@ -502,6 +502,7 @@ def stream_decayed_counts(
     bucket_us: int = 21_600_000_000,
     lookback: int = 20,
     watermark: str = "0 seconds",
+    expire_after_silent_buckets: int | None = None,
 ):
     """Streaming half-life decayed counts — the online twin of
     ``timeseries.decayed_counts`` (W20), emitting the SAME dense grid rows
@@ -523,7 +524,19 @@ def stream_decayed_counts(
 
     Tail flush: each update arms an EventTimeTimeout for when the watermark
     passes the last pending bucket's end; the timed-out invocation drains
-    the remaining buckets and drops the state.
+    the remaining buckets.
+
+    State retention: after a drain the state shrinks to (last_done, ring) —
+    a few hundred bytes per entity. By DEFAULT it is retained for the
+    stream's lifetime, because exact batch-grid parity requires remembering
+    ``last_done`` across arbitrarily long silences (the zero-count gap rows
+    up to the next event are emitted lazily when it arrives — drop the
+    state and those grid rows are lost, which a chunked-replay bench
+    caught). ``expire_after_silent_buckets=N`` (N >= lookback) opts into
+    bounded total state: entities silent for N+1 buckets are dropped; their
+    decayed VALUES stay exact on return (the ring is provably zeros past
+    lookback silence) but the grid RESTARTS at the next event's bucket —
+    per-segment grids instead of one spanning grid.
 
     Reference basis: the online sibling of the same aggregates the reference
     computes batch-only (flow_basic.py:41-76 incremental counters); not in
@@ -537,7 +550,12 @@ def stream_decayed_counts(
 
     if not 0 < lookback <= 61:
         raise ValueError("lookback must be in 1..61")
+    if (expire_after_silent_buckets is not None
+            and expire_after_silent_buckets < lookback):
+        raise ValueError("expire_after_silent_buckets must be >= lookback "
+                         "(earlier expiry would change decayed values)")
     K = lookback
+    expire = expire_after_silent_buckets
     den = float(1 << K)
     NONE = -(1 << 62)  # sentinel: no bucket emitted yet (state must be non-null)
 
@@ -600,30 +618,33 @@ def stream_decayed_counts(
             ])
 
         # State lifecycle: the ring must SURVIVE a full drain — it is the
-        # decay history a later event continues from. It may only expire
-        # after lookback+1 silent buckets, when it is provably all zeros
-        # (expired state == fresh state, so dropping it is exact).
+        # decay history a later event continues from — and last_done must
+        # survive ANY silence when exact grid parity is wanted (gap rows up
+        # to the next event are emitted lazily from last_done+1).
+        arm_b = None
         if pending:
             # flush when the watermark passes the last pending bucket's end
-            expire_b = max(pending)
+            arm_b = max(pending)
         elif last_done == NONE:
             state.remove()
             return
-        else:
-            expire_b = last_done + K + 1
+        elif expire is not None:
+            expire_b = last_done + expire + 1
             if wm_us // bucket_us - 1 >= expire_b:
                 state.remove()
                 return
+            arm_b = expire_b
         state.update((
             int(last_done),
             [int(x) for x in ring],
             [int(b) for b in sorted(pending)],
             [int(pending[b]) for b in sorted(pending)],
         ))
-        need_ms = ((expire_b + 1) * bucket_us) // 1000
-        state.setTimeoutTimestamp(
-            max(need_ms + 1, state.getCurrentWatermarkMs() + 1)
-        )
+        if arm_b is not None:
+            need_ms = ((arm_b + 1) * bucket_us) // 1000
+            state.setTimeoutTimestamp(
+                max(need_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
 
     src = stream_events.select(
         F.col(entity_col),

@@ -871,3 +871,80 @@ def test_stream_decayed_state_continues_across_silent_gap(spark):
     # the gap really was spanned: the late bucket carries the burst's mass
     b0 = E_US // B_US
     assert got[b0 + 5] == (8 << (K - 5)) + (1 << K)
+
+
+def test_stream_decayed_optin_expiry_restarts_segments_with_exact_values(spark):
+    """expire_after_silent_buckets=N drops state after N+1 silent buckets:
+    the grid RESTARTS at the next event (the silent stretch's zero rows are
+    not emitted) but every emitted decayed value is exact — the ring is
+    provably zeros past lookback silence, so expired == fresh. Also pins
+    the expiry < lookback wall."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.streaming import stream_decayed_counts
+
+    B_US = 1_000_000
+    K = 4
+    E_US = 1_700_000_000 * 1_000_000
+    # events at buckets 0-1, then silence for 20 buckets (> N+1), then 25
+    rows = [(1, E_US + 100, 0), (1, E_US + B_US + 100, 1),
+            (1, E_US + 25 * B_US + 100, 2)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, i long").select(
+        "user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us"
+    )
+    with _pytest.raises(ValueError, match="expire_after_silent_buckets"):
+        stream_decayed_counts(ev, "user_id", "ts", B_US, lookback=K,
+                              expire_after_silent_buckets=K - 1)
+
+    path = tempfile.mkdtemp(prefix="ffs_sdecay3_") + "/in"
+    early = ev.filter(F2.col("ts_us") < E_US + 2 * B_US)
+    late = ev.filter(F2.col("ts_us") >= E_US + 2 * B_US)
+    def _adv(off_buckets):
+        return spark.createDataFrame(
+            [(-1, E_US + off_buckets * B_US)], "user_id long, ts_us long"
+        ).select("user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us")
+
+    # watermark lags one trigger: adv(10) makes wm pass the pending buckets,
+    # adv(12)'s trigger FIRES the drain timeout (emit 0,1; pending empty;
+    # wm 10 past expire bucket 6 -> state removed), then the late event
+    # starts a FRESH segment and adv(3600) drains it
+    for i, df in enumerate([early, _adv(10), _adv(12), late, _adv(3600)]):
+        sub = f"{path}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    schema = spark.read.parquet(f"{path}/batch0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/batch*")
+    )
+    q = (
+        stream_decayed_counts(stream, "user_id", "ts", B_US, lookback=K,
+                              expire_after_silent_buckets=K)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdecay3_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["bucket_idx"] - E_US // B_US: r["decayed_num"]
+        for r in spark.sql(
+            "SELECT * FROM sdecay3_out WHERE user_id = 1").collect()
+    }
+    # segment 1: buckets 0..1 emitted before expiry... and NOTHING between
+    # 2 and 24 (state expired; with retention those zero rows would exist);
+    # segment 2 restarts at 25 with a FRESH ring — exact, since 23 silent
+    # buckets > lookback means the carried history is zero anyway
+    assert got[0] == 1 << K and got[1] == (1 << K) + (1 << (K - 1))
+    assert 25 in got and got[25] == 1 << K
+    assert not any(2 <= b <= 24 for b in got)
