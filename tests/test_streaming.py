@@ -948,3 +948,86 @@ def test_stream_decayed_optin_expiry_restarts_segments_with_exact_values(spark):
     assert got[0] == 1 << K and got[1] == (1 << K) + (1 << (K - 1))
     assert 25 in got and got[25] == 1 << K
     assert not any(2 <= b <= 24 for b in got)
+
+
+def test_stream_decayed_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
+    """S4's resumability extended to the streaming decay engine: kill the
+    query with rings + pending buckets live in the state store, restart from
+    the same checkpointLocation with the late half + advancers, and the
+    union of both runs' sink output must equal the batch decayed grid
+    exactly — no bucket lost (state restored), none doubled (exactly-once
+    sink commits)."""
+    import os
+    import random
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from flow_feature_spark.streaming import stream_decayed_counts
+    from flow_feature_spark.timeseries import decayed_counts, resample_counts
+
+    B_US = 1_000_000
+    K = 6
+    E_US = 1_700_000_000 * 1_000_000
+    rng = random.Random(47)
+    rows = [(rng.randrange(5), E_US + rng.randrange(0, 40 * B_US), i)
+            for i in range(400)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, i long").select(
+        "user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us"
+    )
+    mid = E_US + 20 * B_US
+    early, late = ev.filter(F2.col("ts_us") <= mid), ev.filter(F2.col("ts_us") > mid)
+    assert early.count() > 0 and late.count() > 0
+    max_us = ev.agg(F2.max("ts_us")).collect()[0][0]
+    advancers = [
+        spark.createDataFrame([(-1, max_us + off)], "user_id long, ts_us long")
+        .select("user_id", F2.timestamp_micros("ts_us").alias("ts"), "ts_us")
+        for off in (3600 * B_US, 7200 * B_US)
+    ]
+    src, out_dir, cp = f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/cp"
+
+    def _stage(i, df):
+        sub = f"{src}/batch{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        stamp = time.time() + i * 10
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    def _run():
+        schema = spark.read.parquet(f"{src}/batch0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/batch*")
+        )
+        q = (
+            stream_decayed_counts(stream, "user_id", "ts", B_US, lookback=K)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage(0, early)
+    _run()  # run 1 ends with every entity's ring/pending live in state
+    _stage(1, late)
+    _stage(2, advancers[0])
+    _stage(3, advancers[1])
+    _run()  # run 2 resumes offsets + state from the checkpoint
+
+    got = {
+        (r["user_id"], r["bucket_idx"]): (r["n_events"], r["decayed_num"], r["decayed"])
+        for r in spark.read.parquet(out_dir).filter("user_id >= 0").collect()
+    }
+    grid = resample_counts(ev.select("user_id", "ts_us"), "user_id", "ts_us", B_US)
+    want = {
+        (r["user_id"], r["bucket_idx"]): (r["n_events"], r["decayed_num"], r["decayed"])
+        for r in decayed_counts(grid, "user_id", "bucket_idx", "n_events",
+                                lookback=K).collect()
+    }
+    assert set(got) == set(want), (len(got), len(want))
+    assert got == want
