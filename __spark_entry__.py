@@ -578,6 +578,22 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(iv, "start_us", "end_us", entity_col="user_id")
 
 
+def q_merge_intervals_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6's global two-level path: ALL users' activity intervals coalesced
+    in one sweep — fixed-width start buckets merged in parallel, then the
+    per-bucket island list merged once; must equal the single-window oracle
+    exactly (islands spanning bucket boundaries are the hard part)."""
+    from flow_feature_spark.intervals import merge_intervals
+
+    iv = _events_us(spark, sf_dir).select(
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.floor("value").cast("long") * F.lit(1_000_000))
+        .alias("end_us"),
+    )
+    return merge_intervals(iv, "start_us", "end_us", entity_col=None,
+                           global_bucket_us=86_400_000_000)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: SCD2 validity history of each user's value tier
     (featurestore.build_scd2 — run compression + half-open intervals)."""
@@ -1420,7 +1436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_drift": q_histogram_drift,
         "mad_outliers": q_mad_outliers,
         "hopping_window": q_hopping_window,
-        "tool_pivot": q_tool_pivot,
         "gap_percentiles": _sql(OQ.gap_percentiles_sql),
         # relational operator coverage rotated to the tail r5s5 — both
         # green r1-r4, J2/J3 evidence overwhelming
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "stream_decayed": q_stream_decayed,
         "merge_intervals": q_merge_intervals,
+        "merge_intervals_global": q_merge_intervals_global,
         "scd2_build": q_scd2_build,
         "scd2_attach": q_scd2_attach,
         "fuzzy_pairs": q_fuzzy_pairs,
@@ -1450,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
         "semi_anti_join": _sql(OQ.semi_anti_sql),
+        "tool_pivot": q_tool_pivot,
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1534,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_counts": OQ.decayed_sql(d),
         "stream_decayed": OQ.decayed_sql(d),
         "merge_intervals": OQ.merge_intervals_sql(d),
+        "merge_intervals_global": OQ.merge_intervals_global_sql(d),
         "scd2_build": OQ.scd2_sql(d),
         "scd2_attach": OQ.scd2_attach_sql(d),
         "fuzzy_pairs": OD.fuzzy_pairs_sql(d),

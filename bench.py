@@ -146,6 +146,7 @@ def main() -> int:
             "resample_ffill",
             "decayed_counts",
             "merge_intervals",
+            "merge_intervals_global",
             "scd2_build",
             "scd2_attach",
             "fuzzy_pairs",

@@ -1642,3 +1642,41 @@ SELECT d.user_id,
        d.absdev > {float(k)!r} * m2.m      AS is_outlier
 FROM d JOIN m2 ON d.user_id = m2.user_id
 """
+
+
+def merge_intervals_global_sql(dialect: str) -> str:
+    """GLOBAL interval-coalescing oracle: same islands rule as
+    merge_intervals_sql but over ALL users' intervals in one start-ordered
+    sweep — the single-window ground truth the engine's two-level bucketed
+    path (fixed-width start buckets merged in parallel, then the island
+    list merged once) must reproduce exactly."""
+    ts = _epoch_us(dialect)
+    return f"""
+WITH iv AS (
+  SELECT {ts} AS start_us,
+         {ts} + cast(floor(value) AS bigint) * 1000000 AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT start_us, end_us,
+         CASE WHEN max(end_us) OVER (
+                ORDER BY start_us, end_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) >= start_us THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+labeled AS (
+  SELECT start_us, end_us,
+         sum(is_new) OVER (
+           ORDER BY start_us, end_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+)
+SELECT cast(island_id AS bigint)      AS island_id,
+       cast(min(start_us) AS bigint)  AS start_us,
+       cast(max(end_us) AS bigint)    AS end_us,
+       cast(count(*) AS bigint)       AS n_intervals,
+       cast(sum(end_us - start_us) AS bigint) AS len_sum_us
+FROM labeled
+GROUP BY island_id
+"""
