@@ -634,6 +634,25 @@ def q_scd2_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: turn-to-turn repetition features (ops.text.turn_overlap) over
+    the events stream (conv = user, turn text = props): token overlap with
+    the previous turn, exact set sizes + r6 Jaccard, NULL first turns."""
+    from flow_feature_spark.ops.text import turn_overlap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.col("props").alias("text"),
+    )
+    out = turn_overlap(ev, "user_id", "ts_us", "event_id", "text")
+    return out.select(
+        "user_id", "event_id", "n_tokens", "n_shared", "n_union",
+        "jaccard_prev", "is_exact_repeat",
+    )
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15: edit-distance<=1 fuzzy join over document title proxies via the
     deletion-neighborhood banding (ops.fuzzy.edit_distance_pairs); must
@@ -1419,7 +1438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_features": q_stream_features,
         "session_features_sql": _sql(OQ.feature_vector_sql),
         "lag_lead_backfill": _sql(OQ.lag_lead_backfill_sql),
-        "cumulative_running": _sql(OQ.cumulative_sql),
         "asof_union_window_sql": _sql(OQ.asof_sql),
         # engine-API implementations against independent oracles
         "dedup_turns": q_dedup_turns,
@@ -1461,12 +1479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "scd2_attach": q_scd2_attach,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "turn_repetition": q_turn_repetition,
         "melt_long": q_melt_long,
         "topk_per_group": _sql(OQ.topk_per_group_sql),
         "sessionize_counts": _sql(OQ.sessionize_counts_sql),
         "broadcast_join": _sql(OQ.broadcast_join_sql),
         "semi_anti_join": _sql(OQ.semi_anti_sql),
         "tool_pivot": q_tool_pivot,
+        "cumulative_running": _sql(OQ.cumulative_sql),
+        "json_field": _sql(OQ.json_field_sql),
         # training-data pipeline ops (documents / embeddings)
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
@@ -1486,7 +1507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_features": q_per_source_features,
         "whole_table_flow": _sql(OQ.whole_table_flow_sql),
         "proto_tag_filter": q_proto_tag,
-        "json_field": _sql(OQ.json_field_sql),
         "tpch_q1": _sql(OQ.tpch_q1_sql),
         "cosine_topk": q_cosine_topk,
         "session_features_kernel": q_feature_vector_kernel,
@@ -1555,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_build": OQ.scd2_sql(d),
         "scd2_attach": OQ.scd2_attach_sql(d),
         "fuzzy_pairs": OD.fuzzy_pairs_sql(d),
+        "turn_repetition": OD.turn_repetition_sql(d),
         "melt_long": OQ.melt_long_sql(d),
         "tpch_q1": OQ.tpch_q1_sql(d),
         "broadcast_join": OQ.broadcast_join_sql(d),

@@ -158,6 +158,7 @@ def main() -> int:
             "simhash_docs",
             "cosine_topk",
             "text_analysis",
+            "turn_repetition",
         )
     ]
 

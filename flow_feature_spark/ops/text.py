@@ -223,3 +223,64 @@ def token_vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 50) -> 
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def turn_overlap(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts_us",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn-to-turn repetition features: each turn's token overlap with the
+    PREVIOUS turn of its conversation — n_tokens, n_shared, n_union,
+    ``jaccard_prev`` (r6) and ``is_exact_repeat``.
+
+    Why: self-repetition is a first-order training-data-quality signal for
+    agent transcripts (stuck loops, copy-paste turns, degenerate sampling) —
+    the sequential sibling of the corpus-level dedup family (C3-C7), which
+    compares documents, not adjacent turns. One lag window over the same
+    (conv, ts, idx) ordering the sessionizer uses = one exchange.
+
+    Exactness: tokens are the distinct non-empty pieces of the
+    whitespace-split lowercased trimmed text (the C1 normalization);
+    overlap/union are exact integer set sizes (order-insensitive), Jaccard
+    is one r6-rounded double divide — bit-identical cross-engine (driver
+    query ``turn_repetition``). First turns emit NULL overlap columns
+    (nothing to compare against), never fake zeros.
+
+    Reference basis: flow.py:326 consumes only per-packet LENGTH; content
+    similarity between adjacent packets has no reference analog — this is a
+    transcript-native addition.
+    """
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.trim(F.lower(t)), r"\s+"), "")
+    )
+    w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn("_ptoks", F.lag("_toks").over(w))
+        .withColumn("_ptxt", F.lag(t).over(w))
+    )
+    has_prev = F.col("_ptoks").isNotNull()
+    n_shared = F.size(F.array_intersect("_toks", "_ptoks")).cast("long")
+    n_union = F.size(F.array_union("_toks", "_ptoks")).cast("long")
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    jac = F.when(
+        has_prev & (n_union > 0),
+        r6(n_shared.cast("double") / n_union.cast("double")),
+    )
+    return (
+        out.withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn("n_shared", F.when(has_prev, n_shared))
+        .withColumn("n_union", F.when(has_prev, n_union))
+        .withColumn("jaccard_prev", jac)
+        .withColumn(
+            "is_exact_repeat",
+            F.when(F.col("_ptxt").isNotNull(), t == F.col("_ptxt")),
+        )
+        .drop("_toks", "_ptoks", "_ptxt")
+    )

@@ -782,3 +782,46 @@ FROM (
 ) d
 WHERE dist <= {max_dist}
 """
+
+
+def turn_repetition_sql(dialect: str) -> str:
+    """Turn-to-turn repetition oracle (mirrors ops.text.turn_overlap over
+    events: conv = user, turn text = props). Token sets are distinct
+    non-empty whitespace pieces of the lowercased trimmed text; overlap and
+    union are exact set sizes; Jaccard is one r6 divide. First turns are
+    NULL, never zero."""
+    return r"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         coalesce(props, '') AS txt
+  FROM events
+),
+tok AS (
+  SELECT *,
+         list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(txt)), '\s+'),
+           x -> x <> '')) AS toks
+  FROM t
+),
+lagd AS (
+  SELECT *,
+         lag(toks) OVER w AS ptoks,
+         lag(txt) OVER w AS ptxt
+  FROM tok
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id,
+       event_id,
+       cast(len(toks) AS bigint) AS n_tokens,
+       CASE WHEN ptoks IS NULL THEN NULL
+            ELSE cast(len(list_intersect(toks, ptoks)) AS bigint) END AS n_shared,
+       CASE WHEN ptoks IS NULL THEN NULL
+            ELSE cast(len(list_distinct(toks || ptoks)) AS bigint) END AS n_union,
+       CASE WHEN ptoks IS NULL OR len(list_distinct(toks || ptoks)) = 0
+            THEN NULL
+            ELSE floor((cast(len(list_intersect(toks, ptoks)) AS double)
+                        / cast(len(list_distinct(toks || ptoks)) AS double))
+                       * 1e6 + 0.5) / 1e6 END AS jaccard_prev,
+       CASE WHEN ptxt IS NULL THEN NULL ELSE txt = ptxt END AS is_exact_repeat
+FROM lagd
+"""

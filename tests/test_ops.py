@@ -382,3 +382,41 @@ def test_lsh_multiprobe_recall_not_worse(spark, embs):
         return len(exact & got) / len(exact)
 
     assert rec(3) >= rec(0)
+
+
+def test_turn_overlap_repetition_features(spark):
+    """Adjacent-turn token overlap: exact set sizes, r6 Jaccard, NULL first
+    turns, exact-repeat flag, case/whitespace normalization."""
+    from pyspark.sql import functions as F
+
+    from flow_feature_spark.ops.text import turn_overlap
+
+    rows = [
+        ("c1", 1, 0, "Hello world"),
+        ("c1", 2, 1, "hello   WORLD"),      # normalized exact token match
+        ("c1", 3, 2, "hello there"),         # 1 shared of 3 union
+        ("c1", 4, 3, "hello there"),          # exact repeat
+        ("c1", 5, 4, ""),                     # empty text: 0 tokens
+        ("c1", 6, 5, ""),                     # empty vs empty: union 0 -> NULL jac
+        ("c2", 1, 0, "solo"),                 # first turn of its conv
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts_us long, turn_idx int, text string")
+    out = {(r["conv_id"], r["ts_us"]): r for r in turn_overlap(df).collect()}
+
+    first = out[("c1", 1)]
+    assert first["n_shared"] is None and first["jaccard_prev"] is None \
+        and first["is_exact_repeat"] is None
+    norm = out[("c1", 2)]
+    assert (norm["n_shared"], norm["n_union"], norm["jaccard_prev"]) == (2, 2, 1.0)
+    assert norm["is_exact_repeat"] is False  # raw texts differ
+    partial = out[("c1", 3)]
+    assert (partial["n_shared"], partial["n_union"]) == (1, 3)
+    assert partial["jaccard_prev"] == pytest.approx(0.333333)
+    rep = out[("c1", 4)]
+    assert rep["is_exact_repeat"] is True and rep["jaccard_prev"] == 1.0
+    empty = out[("c1", 5)]
+    assert (empty["n_tokens"], empty["n_shared"], empty["n_union"]) == (0, 0, 2)
+    ee = out[("c1", 6)]
+    assert ee["n_union"] == 0 and ee["jaccard_prev"] is None \
+        and ee["is_exact_repeat"] is True
+    assert out[("c2", 1)]["n_shared"] is None
