@@ -222,6 +222,19 @@ def main() -> int:
     check("fuzzy join is equi (no cartesian, no Python eval)",
           "CartesianProduct" not in fz and "BatchEvalPython" not in fz
           and "ArrowEvalPython" not in fz)
+    # turn repetition: ONE exchange (the lag window), no Python eval
+    tr_ = plan_of(e.queries()["turn_repetition"](spark, sf_dir), "simple")
+    n_ex = tr_.count("Exchange hashpartitioning")
+    check("turn_repetition is a single-exchange lag window",
+          n_ex == 1 and "EvalPython" not in tr_, f"found {n_ex}")
+    # mad outliers: every exchange keys on the group column only — the
+    # rank/agg/join rounds must all hash on user_id, never sort globally
+    mo = plan_of(e.queries()["mad_outliers"](spark, sf_dir), "simple")
+    import re as _re
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", mo)
+    check("mad_outliers exchanges all key on the group column",
+          bool(keys) and all(k.startswith("user_id") for k in keys),
+          f"keys={set(keys)}")
 
     spark.stop()
     print("\nAll checks passed" if not failures else f"\nFAILED: {failures}")
