@@ -127,9 +127,15 @@ def main() -> int:
     worker = WORKER.format(repo=REPO)
     results = {}
     for cpus in LEVELS:
+        # PYTHONPATH must carry the repo for the EXECUTOR python workers too
+        # (the driver-side sys.path.insert doesn't reach them; launching from
+        # any cwd but the repo root would otherwise fail with
+        # ModuleNotFoundError inside cloudpickle deserialization)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             [sys.executable, "-c", worker, str(cpus), path, str(WARMUPS), str(RUNS)],
-            capture_output=True, text=True, timeout=5400,
+            capture_output=True, text=True, timeout=5400, env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
