@@ -56,9 +56,13 @@ print("RESULT " + json.dumps({{"cpus": cpus, "engine": engine, "rows": n_rows,
 
 
 def run_cell(cpus: int, path: str, engine: str) -> dict:
+    # repo on PYTHONPATH for the EXECUTOR python workers (driver-side
+    # sys.path.insert does not reach them — same fix as bench_scaling.py)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     p = subprocess.run(
         [sys.executable, "-c", WORKER.format(repo=REPO), str(cpus), path, engine],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
