@@ -70,6 +70,10 @@ def _attach_group(
     probe_side, feat_side = (0, 1) if g.strict else (1, 0)
     carried = [c for c in probes.columns if c != probe_entity]
 
+    # the union-window key is the STRING form of both sides' entity (the
+    # group's key type may differ from the probe's); the probe's ORIGINAL
+    # entity column rides along untouched so the output keeps its type —
+    # an int64 probe id must not come back retyped to string
     f = g.df.select(
         F.col(g.entity_col).cast("string").alias("__ent"),
         F.unix_micros(F.col(g.ts_col).cast("timestamp")).alias("__t_us"),
@@ -78,6 +82,7 @@ def _attach_group(
             F.unix_micros(F.col(g.ts_col).cast("timestamp")).alias("__ft_us"),
             *[F.col(c) for c in vals],
         ).alias("__payload"),
+        F.lit(None).cast(probes.schema[probe_entity].dataType).alias("__orig_ent"),
         *[
             F.lit(None).cast(probes.schema[c].dataType).alias(c)
             for c in carried
@@ -88,6 +93,7 @@ def _attach_group(
         F.unix_micros(F.col(probe_ts).cast("timestamp")).alias("__t_us"),
         F.lit(probe_side).alias("__side"),
         F.lit(None).cast(f.schema["__payload"].dataType).alias("__payload"),
+        F.col(probe_entity).alias("__orig_ent"),
         *[F.col(c) for c in carried],
     )
     from pyspark.sql import Window
@@ -108,7 +114,7 @@ def _attach_group(
         )
         joined = joined.withColumn("__last", F.when(fresh, F.col("__last")))
     return joined.select(
-        F.col("__ent").alias(probe_entity),
+        F.col("__orig_ent").alias(probe_entity),
         *[F.col(c) for c in carried],
         *[
             F.col("__last").getField(c).alias(o)

@@ -536,6 +536,21 @@ def write_snapshot(
         )
     snap_id = len(log) + 1
     snap_dir = f"{table_path.rstrip('/')}/snap-{snap_id:06d}"
+    # crash-retry safety: a failure between the data write and the log
+    # commit leaves snap-<id> on disk with no log entry referencing it, and
+    # since snap_id = len(log)+1 is unchanged on retry, errorifexists would
+    # fail the replay forever (notably the streaming exactly-once resume).
+    # Ids are never reused (expired entries stay in the log), so a
+    # pre-existing snap-<id> dir is by construction an orphan of a failed
+    # commit — delete it before writing.
+    fs, _ = _hadoop_fs(spark, table_path)
+    orphan = spark._jvm.org.apache.hadoop.fs.Path(snap_dir)
+    if fs.exists(orphan):
+        if any(e["snapshot_id"] == snap_id for e in log):
+            raise IOError(
+                f"snapshot {snap_id} already committed; log/dir disagree"
+            )
+        fs.delete(orphan, True)
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -694,6 +709,7 @@ def compact_snapshot(
     table_path: str,
     target_files: int = 8,
     stats_cols: tuple[str, ...] | None = None,
+    partition_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Rewrite the CURRENT state as one fresh overwrite commit of
     ``target_files`` files — the history-preserving compaction for snapshot
@@ -703,13 +719,28 @@ def compact_snapshot(
     collapses the live composition into a single directory; older
     snapshots keep reading their immutable directories (run
     ``expire_snapshots`` + ``vacuum_table`` afterwards to reclaim them).
-    Iceberg calls this rewrite_data_files."""
+    Iceberg calls this rewrite_data_files.
+
+    The rewrite PRESERVES the parent's partition spec by default (a table
+    maintained with ``replace_groups_partitioned`` must stay partitioned by
+    its group columns or the bounded-replace path stops working); pass
+    ``partition_cols`` explicitly to change the spec, or ``()`` to
+    deliberately flatten."""
+    log = _read_log(spark, table_path)
+    if partition_cols is None and log:
+        partition_cols = tuple(log[-1].get("partition_cols") or [])
     cur = read_snapshot(spark, table_path)
+    parts = list(partition_cols) if partition_cols else []
+    compacted = (
+        cur.repartition(target_files, *parts) if parts
+        else cur.repartition(target_files)
+    )
     return write_snapshot(
-        cur.repartition(target_files),
+        compacted,
         table_path,
         job="compact_snapshot",
         operation="overwrite",
+        partition_cols=tuple(parts),
         stats_cols=stats_cols,
     )
 
@@ -861,6 +892,21 @@ def merge_snapshot(
         keys = [tuple(r[k] for k in key_cols) for r in dup]
         raise ValueError(f"merge updates have multiple rows per key: {keys}")
     touched = updates.select(*key_cols).distinct()
+    if delete_col:
+        # a NULL flag would vanish from filter(~col) while its key stays in
+        # `touched` — a silent DELETE; fail loudly instead (the caller must
+        # coalesce an optional flag explicitly)
+        d = F.col(delete_col)
+        updates = updates.withColumn(
+            delete_col,
+            F.when(
+                d.isNull(),
+                F.raise_error(F.lit(
+                    f"merge_snapshot: NULL in delete flag {delete_col!r}; "
+                    "coalesce to false explicitly if NULL means no-delete"
+                )).cast("boolean"),
+            ).otherwise(d),
+        )
     upserts = (
         updates.filter(~F.col(delete_col)) if delete_col else updates
     ).select(*current.columns)

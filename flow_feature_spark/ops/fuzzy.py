@@ -125,7 +125,11 @@ def edit_distance_pairs(
             raise ValueError("max_bucket must be >= 1")
         freq = var.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
         var = (
-            var.join(freq.filter(F.col("_n") <= max_bucket), "variant", "inner")
+            var.join(
+                freq.filter(F.col("_n") <= max_bucket).hint("shuffle_hash"),
+                "variant",
+                "inner",
+            )
             .drop("_n")
         )
     a = var.select(
@@ -138,8 +142,13 @@ def edit_distance_pairs(
         F.col(id_col).alias("id_b"),
         F.col(s_col).alias("_sb"),
     )
+    # Both sides are variant-exploded (|s|^d rows per string) and therefore
+    # never broadcastable at design scale; AQE's size estimate of the
+    # post-explode side can be wildly low and a mis-planned broadcast of
+    # ~1e8 variant rows kills the driver on maxResultSize (measured at 1e6
+    # strings d=2 — 137M variants). Pin the physical strategy.
     cand = (
-        a.join(b, "variant")
+        a.join(b.hint("shuffle_hash"), "variant")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()

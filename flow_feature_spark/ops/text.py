@@ -203,11 +203,15 @@ def token_vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 50) -> 
     classic vocabulary-building pass of a BPE/tokenizer pipeline).
 
     Shape at scale: explode is map-side; the count is one hash aggregate
-    with map-side partial combine (token cardinality ~ vocabulary size,
-    millions at most — tiny next to the corpus); the final top-N ranks the
-    AGGREGATED table (one row per distinct token), so the single-task
-    window sorts |vocab| rows, never |corpus|. Tiebreak on the token string
-    keeps the cut deterministic.
+    with map-side partial combine (token cardinality ~ vocabulary size);
+    the top-N cut is ``orderBy(...).limit(top_n)``, which Catalyst compiles
+    to TakeOrderedAndProject — every partition keeps a local top-``top_n``
+    heap and only those survive to the driver-side merge, so no single task
+    ever sorts the whole vocabulary (a web corpus has billions of distinct
+    tokens; a global rank window would hold them all in one task). The
+    rank column is then a window over the already-cut ``top_n`` rows —
+    bounded by ``top_n``, not |vocab|. Tiebreak on the token string keeps
+    the cut deterministic.
     """
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
@@ -218,11 +222,16 @@ def token_vocabulary(df: DataFrame, text_col: str = "text", top_n: int = 50) -> 
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_n)
-    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    # explicit single constant partition: the frame is already cut to top_n
+    # rows, so one task is correct AND bounded. The key must be non-foldable
+    # (a literal gets optimized away, resurrecting the empty partition spec
+    # and its "No Partition Defined" scale warning — spurious here, but the
+    # warning's absence is what lets a bench tail flag REAL global windows)
+    w = Window.partitionBy(
+        F.substring(F.col("token"), 1, 0)
+    ).orderBy(F.desc("n"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def turn_overlap(

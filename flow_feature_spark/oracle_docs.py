@@ -131,12 +131,23 @@ FROM documents
 """
 
 
-def dedup_exact_sql(dialect: str) -> str:
+def dedup_exact_sql(dialect: str, synth_dups: bool = False) -> str:
+    """``synth_dups`` unions a deterministic duplicated slice (doc_id % 10
+    = 0 re-emitted at doc_id + 1000000) so the query has non-trivial
+    duplicate groups even on corpora with no byte-identical docs — the
+    testdata has none at sf0.01, which left the driver row 0-row."""
     norm = _norm(dialect)
+    src = "documents"
+    if synth_dups:
+        src = (
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0)"
+        )
     return f"""
 SELECT fp, cast(count(*) AS bigint) AS group_size,
        min(doc_id) AS keeper_doc_id
-FROM (SELECT doc_id, md5({norm}) AS fp FROM documents) t
+FROM (SELECT doc_id, md5({norm}) AS fp FROM {src} docs) t
 GROUP BY fp HAVING count(*) >= 2
 """
 

@@ -48,6 +48,7 @@ def resample_counts(
     sum_col: str | None = None,
     ffill_col: str | None = None,
     tiebreak_col: str | None = None,
+    max_gap_buckets: int = 10_000_000,
 ) -> DataFrame:
     """Dense per-entity bucket grid with zero-filled counts/sums and a
     forward-filled "last observed value" column.
@@ -59,9 +60,18 @@ def resample_counts(
     or before the bucket end (ties on ts broken by ``tiebreak_col``
     descending-last, i.e. max_by over (ts, tiebreak)); buckets before the
     entity's first event cannot occur (grid starts at its min bucket).
+
+    ``max_gap_buckets`` is a loud explode-budget wall (mirrors
+    ``rangejoin``'s): one event pair spanning years at a small ``bucket_us``
+    would make a single post-shuffle row generate span/bucket grid cells
+    that AQE cannot split. Rather than silently producing a skewed
+    multi-million-row explode, the job fails with a message naming the gap
+    and suggesting a coarser bucket.
     """
     if bucket_us <= 0:
         raise ValueError("bucket_us must be positive")
+    if max_gap_buckets < 1:
+        raise ValueError("max_gap_buckets must be >= 1")
     for reserved in ("entity", "bucket_idx"):
         if reserved in df.columns and reserved != entity_col:
             raise ValueError(f"resample_counts: input column {reserved!r} clashes "
@@ -86,7 +96,8 @@ def resample_counts(
     # this operator inherently needs, since forward fill is a per-entity
     # sequential pass; a hot entity's grid is bounded by its active span /
     # bucket, never by its event count.
-    per_bucket = df.select(e.alias("entity"), b, F.col("*")).groupBy(
+    others = [F.col(c) for c in df.columns if c != entity_col]
+    per_bucket = df.select(e.alias("entity"), b, *others).groupBy(
         "entity", "bucket_idx"
     ).agg(*aggs)
 
@@ -110,8 +121,24 @@ def resample_counts(
         gen_cols.append(
             F.when(real, F.col("_bucket_last")).alias("_bucket_last")
         )
+    gap_guard = F.when(
+        F.col("bucket_idx") - F.col("_from") < F.lit(int(max_gap_buckets)),
+        F.sequence("_from", "bucket_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("resample_counts: one gap would generate "),
+                (F.col("bucket_idx") - F.col("_from") + 1).cast("string"),
+                F.lit(
+                    f" grid cells > max_gap_buckets={max_gap_buckets}; "
+                    f"use a coarser bucket_us (current {bucket_us} us) or "
+                    "raise max_gap_buckets"
+                ),
+            )
+        ).cast("array<bigint>")
+    )
     out = gapped.select(
-        "*", F.explode(F.sequence("_from", "bucket_idx")).alias("_g")
+        "*", F.explode(gap_guard).alias("_g")
     ).select(*gen_cols).withColumnRenamed("_grid_idx", "bucket_idx")
     if ffill_col is not None:
         w = (

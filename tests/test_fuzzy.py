@@ -120,3 +120,21 @@ def test_null_string_rejected(spark):
 def test_invalid_distance_rejected(spark):
     with pytest.raises(ValueError):
         edit_distance_pairs(_df(spark, [(0, "a")]), "id", "s", 3)
+
+
+def test_join_is_pinned_shuffle_hash_never_broadcast(spark):
+    """Both join sides are variant-exploded and never broadcastable at
+    design scale; AQE's post-explode size mis-estimate once planned a 137M
+    -row broadcast that killed the driver on maxResultSize. The shuffle_hash
+    hint must pin the physical strategy regardless of estimated sizes."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["abc", "abd", "xyz", "xy"])],
+        "id long, s string",
+    )
+    for kwargs in ({}, {"max_bucket": 3}):
+        plan = (
+            edit_distance_pairs(df, "id", "s", max_distance=2, **kwargs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in plan, kwargs
+        assert "ShuffledHashJoin" in plan, kwargs

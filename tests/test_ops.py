@@ -420,3 +420,20 @@ def test_turn_overlap_repetition_features(spark):
     assert ee["n_union"] == 0 and ee["jaccard_prev"] is None \
         and ee["is_exact_repeat"] is True
     assert out[("c2", 1)]["n_shared"] is None
+
+
+def test_token_vocabulary_topn_is_take_ordered_not_global_window(spark):
+    """The top-N cut must compile to TakeOrderedAndProject (parallel partial
+    top-N) — a global rank window would hold the whole vocabulary (billions
+    of distinct tokens on a web corpus) in one task. The rank window that
+    remains operates on the already-cut top_n rows only."""
+    from flow_feature_spark.ops.text import token_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c d d a")], "doc_id long, text string"
+    )
+    out = token_vocabulary(docs, top_n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [(r["token"], r["n"], r["rank"]) for r in out.collect()]
+    assert got == [("c", 4, 1), ("a", 2, 2)]

@@ -320,3 +320,69 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="refusing to vacuum"):
         vacuum_table(spark, str(tmp_path / "not_a_table"))
+
+
+def test_orphan_snap_dir_from_crashed_commit_is_reclaimed_on_retry(spark, tmp_path):
+    """A crash between the data write and the log commit leaves snap-<id>
+    with no log entry; the retry (same snap_id) must reclaim it instead of
+    failing forever on errorifexists — the streaming exactly-once resume
+    depends on this."""
+    import os
+
+    tp = str(tmp_path / "otbl")
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    write_snapshot(df, tp)
+    # simulate the crashed second commit: data dir exists, log unchanged
+    orphan = os.path.join(tp, "snap-000002")
+    spark.createDataFrame([("zz", 9)], "k string, v int").write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    # retry commits cleanly and the orphan's rows are NOT in the table
+    e = write_snapshot(
+        spark.createDataFrame([("b", 2)], "k string, v int"), tp,
+        operation="append",
+    )
+    assert e["snapshot_id"] == 2
+    got = {r["k"] for r in read_snapshot(spark, tp).collect()}
+    assert got == {"a", "b"}
+
+
+def test_merge_null_delete_flag_raises_not_silent_delete(spark, tmp_path):
+    """NULL in the delete flag used to vanish from filter(~col) while the
+    key stayed in `touched` — a silent DELETE. It must fail loudly."""
+    from flow_feature_spark.io import merge_snapshot
+
+    tp = str(tmp_path / "ndtbl")
+    write_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), tp
+    )
+    upd = spark.createDataFrame(
+        [("a", 10, None)], "k string, v int, __del boolean"
+    )
+    try:
+        merge_snapshot(upd, tp, ("k",), delete_col="__del")
+        raise AssertionError("NULL delete flag must fail")
+    except Exception as e:
+        assert "NULL in delete flag" in str(e)
+    # table unchanged
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, tp).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_compact_preserves_partition_spec_and_bounded_replace(spark, tmp_path):
+    """compact_snapshot defaults to the parent's partition spec so a table
+    maintained with replace_groups_partitioned keeps its bounded-replace
+    path after compaction."""
+    from flow_feature_spark.io import compact_snapshot
+
+    tp = str(tmp_path / "ctbl")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "g string, n int, v int"
+    )
+    write_snapshot(df, tp, partition_cols=("g",))
+    e = compact_snapshot(spark, tp, target_files=2)
+    assert e["partition_cols"] == ["g"]
+    got = sorted((r["g"], r["n"], r["v"]) for r in read_snapshot(spark, tp).collect())
+    assert got == [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)]
+    # explicit () deliberately flattens
+    e2 = compact_snapshot(spark, tp, target_files=1, partition_cols=())
+    assert e2["partition_cols"] == []

@@ -137,3 +137,35 @@ def test_decayed_halves_per_empty_bucket(spark):
     for b in range(6):
         assert out[b] == 2.0 ** -b  # dyadic -> exact doubles
     assert out[6] == 1.0 + 2.0 ** -6
+
+
+def test_resample_gap_budget_wall_raises_loudly(spark):
+    # one entity silent for 100 buckets: budget 50 must raise, 1000 must pass
+    rows = [("e", 0, 1, "a", 0), ("e", 100 * BUCKET_US, 1, "b", 1)]
+    df = _df(spark, rows)
+    ok = resample_counts(df, "e", "ts_us", BUCKET_US, max_gap_buckets=1000)
+    assert ok.count() == 101
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    walled = resample_counts(df, "e", "ts_us", BUCKET_US, max_gap_buckets=50)
+    with _pt.raises(Exception) as ei:
+        walled.count()
+    assert "max_gap_buckets" in str(ei.value)
+    with _pt.raises(ValueError):
+        resample_counts(df, "e", "ts_us", BUCKET_US, max_gap_buckets=0)
+
+
+def test_resample_entity_col_named_entity_works(spark):
+    # regression: entity_col == 'entity' used to emit a duplicate column and
+    # fail the groupBy with an ambiguous reference
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 2_500_000, 7), ("b", 0, 1)],
+        "entity string, ts_us long, amount long",
+    )
+    out = resample_counts(df, "entity", "ts_us", BUCKET_US, sum_col="amount")
+    got = {(r["entity"], r["bucket_idx"]): (r["n_events"], r["sum_amount"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (1, 5), ("a", 1): (0, 0), ("a", 2): (1, 7), ("b", 0): (1, 1),
+    }

@@ -222,6 +222,12 @@ def main() -> int:
     check("fuzzy join is equi (no cartesian, no Python eval)",
           "CartesianProduct" not in fz and "BatchEvalPython" not in fz
           and "ArrowEvalPython" not in fz)
+    # ... and NEVER broadcasts: both sides are variant-exploded, AQE's size
+    # mis-estimate once planned a 137M-row broadcast that killed the driver
+    # (BENCH/TIMESERIES.md). The shuffle_hash hint must pin the strategy.
+    check("fuzzy join never plans a BroadcastExchange",
+          "BroadcastExchange" not in fz and "ShuffledHashJoin" in fz,
+          f"bcast={'BroadcastExchange' in fz} shj={'ShuffledHashJoin' in fz}")
     # turn repetition: ONE exchange (the lag window), no Python eval
     tr_ = plan_of(e.queries()["turn_repetition"](spark, sf_dir), "simple")
     n_ex = tr_.count("Exchange hashpartitioning")
