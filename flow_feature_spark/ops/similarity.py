@@ -464,6 +464,73 @@ def ivf_topk(
     )
 
 
+def lsh_probes_by_table(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    planes_per_table: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_flips: int = 1,
+) -> DataFrame:
+    """(vid, v, table_id, key) with MULTIPROBE keys: per table, each vector
+    emits its home bucket plus the buckets reached by flipping each of the
+    ``multiprobe_flips`` sign bits with the smallest |dot| margin — a
+    near-zero plane dot means a true neighbor plausibly landed on the other
+    side of that hyperplane. Rows per vector grow from L to at most
+    L * (1 + flips).
+
+    Codegen shape: the r plane dots are materialized as ONE array column in
+    their own projection (unrolled literal mult-adds — whole-stage codegen,
+    same generated-method budget as ``lsh_keyed_by_table``'s branches); the
+    key and the margin sort then only index that array, so the expensive
+    arithmetic runs once per row even though two expressions reference it.
+    The margin sort itself is an interpreted HOF over r tiny structs —
+    negligible next to the r*dim codegen'd dot terms.
+    """
+    if multiprobe_flips < 0:
+        raise ValueError("multiprobe_flips must be >= 0")
+    r = planes_per_table
+    branches = []
+    for t in range(n_tables):
+        dots_sql = "array(" + ", ".join(
+            _dot_lit_sql(f"`{vec_col}`", _hyperplane(dim, t * r + p))
+            for p in range(r)
+        ) + ")"
+        d = emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.expr(dots_sql).alias("_dots"),
+        )
+        key_sql = "CAST((" + " + ".join(
+            f"(CASE WHEN _dots[{p}] >= 0D THEN {1 << p} ELSE 0 END)"
+            for p in range(r)
+        ) + ") AS INT)"
+        flips_sql = (
+            f"slice(array_sort(transform(sequence(0, {r - 1}), "
+            f"p -> named_struct('m', abs(_dots[p]), 'p', p))), "
+            f"1, {multiprobe_flips})"
+        )
+        k = d.select(
+            "vid", "v",
+            F.expr(key_sql).alias("key"),
+            F.expr(flips_sql).alias("_flip"),
+        )
+        branches.append(
+            k.select(
+                "vid", "v", F.lit(t).alias("table_id"),
+                F.explode(F.expr(
+                    "array_union(array(key), "
+                    "transform(_flip, s -> CAST(key ^ shiftleft(1, s.p) AS INT)))"
+                )).alias("key"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,
@@ -473,6 +540,7 @@ def embedding_near_dup_pairs(
     max_bucket_size: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe_flips: int = 0,
 ) -> DataFrame:
     """Near-dup pairs (cos >= threshold) via multi-table sign-LSH.
 
@@ -485,6 +553,15 @@ def embedding_near_dup_pairs(
     bucket size, so one degenerate bucket (e.g. the all-zeros region) would
     otherwise dominate the whole job. The oversized-bucket set is tiny by
     construction -> broadcast anti-join, no extra big shuffle.
+
+    ``multiprobe_flips`` lifts recall without more tables (the same trick
+    that took the top-k side's recall@10 0.755 -> 0.949): one join side is
+    replaced by the probe-expanded keying of ``lsh_probes_by_table`` — pair
+    (a, b) is found when EITHER side's probe set reaches the other's home
+    bucket, so the join stays asymmetric (home side unchanged, probe side
+    at most (1 + flips) times larger) and the candidate canonicalization
+    (least/greatest + distinct) removes the double-count. Probe rows aimed
+    at a capped bucket match nothing — the cap stays a home-side property.
     """
     keyed = lsh_keyed_by_table(
         emb, dim, n_tables, planes_per_table, id_col=id_col, vec_col=vec_col
@@ -496,19 +573,47 @@ def embedding_near_dup_pairs(
         .select("table_id", "key")
     )
     capped = keyed.join(F.broadcast(big), ["table_id", "key"], "left_anti")
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
+    # candidate generation carries BARE id pairs only — the first build
+    # carried both 64-float vectors through the dedup shuffle, and at 10^6
+    # vectors with multiprobe the ~half-kilobyte rows OOM-killed the host
+    # (the candidate stream is the biggest intermediate in the job; ids are
+    # 16 bytes, vectors 30x that). Vectors are joined back AFTER the
+    # distinct, exactly like the DuckDB oracle's shape.
+    if multiprobe_flips:
+        probe = lsh_probes_by_table(
+            emb, dim, n_tables, planes_per_table,
+            id_col=id_col, vec_col=vec_col,
+            multiprobe_flips=multiprobe_flips,
+        ).drop("v")
+        a, b = probe.alias("a"), capped.drop("v").alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.vid") != F.col("b.vid")),
+            )
+            .select(
+                F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
+                F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
+            )
+        )
+    else:
+        a, b = capped.drop("v").alias("a"), capped.drop("v").alias("b")
+        cand = a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
+        ).select(
             F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.dropDuplicates(["vec_a", "vec_b"])
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
         )

@@ -404,6 +404,53 @@ def _multi_table_keyed_cte(
     return "keyed AS (" + " UNION ALL ".join(branches) + ")"
 
 
+def _multiprobe_probes_cte(
+    dialect: str, dim: int, n_tables: int, planes_per_table: int, flips: int
+) -> str:
+    """``probes`` CTE: (vid, table_id, key) with the home key PLUS the keys
+    reached by flipping each of the ``flips`` smallest-|dot|-margin sign
+    bits — mirrors ops.similarity.lsh_probes_by_table value-for-value (same
+    md5 hyperplanes, same left-assoc dot order, ties on margin broken by
+    plane index via the struct sort)."""
+    if dialect != "duckdb":
+        raise NotImplementedError(
+            "multiprobe oracle is duckdb-only (the spark side is the engine)"
+        )
+    r = planes_per_table
+    ctes, branches = [], []
+    for t in range(n_tables):
+        dots = "[" + ", ".join(
+            _dot_sql(
+                "duckdb", "embedding",
+                "[" + ", ".join(repr(v) for v in _hyperplane(dim, t * r + p)) + "]",
+                dim,
+            )
+            for p in range(r)
+        ) + "]"
+        key = "cast((" + " + ".join(
+            f"(CASE WHEN dots[{p + 1}] >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(r)
+        ) + ") AS int)"
+        margins = (
+            f"list_transform(range(0, {r}), p -> "
+            "{'m': abs(dots[p + 1]), 'p': p})"
+        )
+        ctes.append(f"dotted{t} AS (SELECT vec_id, {dots} AS dots FROM embeddings)")
+        ctes.append(
+            f"kt{t} AS (SELECT vec_id, {key} AS key, {margins} AS margins "
+            f"FROM dotted{t})"
+        )
+        branches.append(
+            f"SELECT vec_id AS vid, {t} AS table_id, "
+            "unnest(list_distinct(list_append(list_transform("
+            f"list_slice(list_sort(margins), 1, {flips}), "
+            "s -> cast(xor(key, 1 << s.p) AS int)), key))) AS key "
+            f"FROM kt{t}"
+        )
+    probes = "probes AS (" + " UNION ALL ".join(branches) + ")"
+    return ", ".join(ctes + [probes])
+
+
 def embedding_near_dup_sql(
     dialect: str,
     dim: int = 64,
@@ -411,15 +458,37 @@ def embedding_near_dup_sql(
     n_tables: int = 4,
     planes_per_table: int = 16,
     max_bucket_size: int = 10_000,
+    multiprobe_flips: int = 0,
 ) -> str:
     """Multi-table LSH near-dup mirror (bucket-size cap + table union +
     exact cosine re-filter), token-for-token with
-    ops.similarity.embedding_near_dup_pairs."""
+    ops.similarity.embedding_near_dup_pairs. ``multiprobe_flips`` mirrors
+    the engine's probe-expanded candidate join (probe side vs home side,
+    least/greatest canonicalization)."""
     d = dialect
     dot = _dot_sql(d, "e1.embedding", "e2.embedding", dim)
     n1 = _norm2_sql(d, "e1.embedding", dim)
     n2 = _norm2_sql(d, "e2.embedding", dim)
     cos = r6(f"({dot}) / (sqrt({n1}) * sqrt({n2}))")
+    if multiprobe_flips:
+        probes_cte = _multiprobe_probes_cte(
+            d, dim, n_tables, planes_per_table, multiprobe_flips
+        )
+        cand = """
+cand AS (
+  SELECT DISTINCT least(a.vid, b.vid) AS vec_a, greatest(a.vid, b.vid) AS vec_b
+  FROM probes a JOIN capped b
+    ON a.table_id = b.table_id AND a.key = b.key AND a.vid <> b.vid
+)"""
+        extra = f",\n{probes_cte}"
+    else:
+        cand = """
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM capped a JOIN capped b
+    ON a.table_id = b.table_id AND a.key = b.key AND a.vid < b.vid
+)"""
+        extra = ""
     return f"""
 WITH {_multi_table_keyed_cte(d, dim, n_tables, planes_per_table)},
 big AS (
@@ -430,12 +499,8 @@ capped AS (
   SELECT k.* FROM keyed k LEFT JOIN big
     ON k.table_id = big.table_id AND k.key = big.key
   WHERE big.key IS NULL
-),
-cand AS (
-  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
-  FROM capped a JOIN capped b
-    ON a.table_id = b.table_id AND a.key = b.key AND a.vid < b.vid
-)
+){extra},
+{cand}
 SELECT vec_a, vec_b, {cos} AS cos_sim
 FROM cand
 JOIN embeddings e1 ON e1.vec_id = vec_a

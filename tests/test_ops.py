@@ -437,3 +437,42 @@ def test_token_vocabulary_topn_is_take_ordered_not_global_window(spark):
     assert "TakeOrderedAndProject" in plan
     got = [(r["token"], r["n"], r["rank"]) for r in out.collect()]
     assert got == [("c", 4, 1), ("a", 2, 2)]
+
+
+def test_near_dup_multiprobe_superset_and_exact_values(spark, embs):
+    """The multiprobe pair path must (a) return a SUPERSET of the flips=0
+    pair set, (b) never invent a pair below the cosine threshold, and (c)
+    agree value-for-value with brute force on the pairs it does return."""
+    kw = dict(dim=64, threshold=0.35, n_tables=4, planes_per_table=8)
+    base = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in sim.embedding_near_dup_pairs(embs, **kw).collect()}
+    multi = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+             for r in sim.embedding_near_dup_pairs(
+                 embs, multiprobe_flips=2, **kw).collect()}
+    assert set(base) <= set(multi)
+    for p, c in base.items():
+        assert multi[p] == c
+    # brute-force ground truth: every returned pair must be real
+    a, b = embs.alias("a"), embs.alias("b")
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .collect()
+    }
+    assert set(multi) <= set(brute)
+    for p, c in multi.items():
+        assert brute[p] == c
+    # the whole point: strictly more true pairs found (recall lift); if the
+    # base probe already found everything this corpus can't evidence a lift
+    base_recall = len(base) / len(brute)
+    multi_recall = len(multi) / len(brute)
+    assert multi_recall >= base_recall
+    assert multi_recall > base_recall or base_recall == 1.0, (
+        f"base={base_recall:.3f} multi={multi_recall:.3f} n_true={len(brute)}"
+    )

@@ -200,35 +200,40 @@ def main() -> int:
     )
     truth_pairs = {(r["a"], r["b"]) for r in truth.collect()}
 
-    t0 = time.time()
-    nd = sim.embedding_near_dup_pairs(
-        emb, dim=DIM, threshold=0.9, n_tables=4, planes_per_table=16,
-        max_bucket_size=10_000,
-    ).persist()
-    n_found = nd.count()
-    wall = round(time.time() - t0, 1)
-    nd_mtr, nd_tasks = max_task_rows(nd)
-    found = {(r["vec_a"], r["vec_b"]) for r in nd.collect()}
-    nd.unpersist()
-    hit = len(found & truth_pairs)
-    out["near_dup"] = {
-        "wall_s": wall,
-        "found_pairs": n_found,
-        "true_pairs": len(truth_pairs),
-        "recall": round(hit / max(len(truth_pairs), 1), 3),
-        "beyond_construction": len(found - truth_pairs),
-        "max_task_rows": nd_mtr,
-        "n_tasks": nd_tasks,
-    }
-    # band-bucket skew surface at the near-dup params
-    keyed = sim.lsh_keyed_by_table(emb, DIM, 4, 16)
-    out["near_dup"]["max_band_bucket"] = int(
-        keyed.groupBy("table_id", "key").count().agg(F.max("count")).collect()[0][0]
-    )
-    print("near_dup", out["near_dup"])
+    for L, r, flips in ((4, 16, 0), (4, 16, 2), (4, 16, 4)):
+        t0 = time.time()
+        nd = sim.embedding_near_dup_pairs(
+            emb, dim=DIM, threshold=0.9, n_tables=L, planes_per_table=r,
+            max_bucket_size=10_000, multiprobe_flips=flips,
+        ).persist()
+        n_found = nd.count()
+        wall = round(time.time() - t0, 1)
+        nd_mtr, nd_tasks = max_task_rows(nd)
+        found = {(r_["vec_a"], r_["vec_b"]) for r_ in nd.collect()}
+        nd.unpersist()
+        hit = len(found & truth_pairs)
+        tag = "near_dup" + (f"_mp{flips}" if flips else "")
+        out[tag] = {
+            "wall_s": wall,
+            "found_pairs": n_found,
+            "true_pairs": len(truth_pairs),
+            "recall": round(hit / max(len(truth_pairs), 1), 3),
+            "beyond_construction": len(found - truth_pairs),
+            "max_task_rows": nd_mtr,
+            "n_tasks": nd_tasks,
+        }
+        if not flips:
+            # band-bucket skew surface at the near-dup params
+            keyed = sim.lsh_keyed_by_table(emb, DIM, L, r)
+            out[tag]["max_band_bucket"] = int(
+                keyed.groupBy("table_id", "key").count()
+                .agg(F.max("count")).collect()[0][0]
+            )
+        print(tag, out[tag])
     print("RESULT " + json.dumps(out))
 
     nd9 = out["near_dup"]
+    nd2, nd4 = out["near_dup_mp2"], out["near_dup_mp4"]
     l10, l12 = out["lsh_L8_r10"], out["lsh_L8_r12"]
     lmp = out["lsh_L8_r10_mp4"]
     ivf = out["ivf_a64_p8"]
@@ -247,6 +252,8 @@ in {out['gen_s']}s, all Spark expressions, deterministic.
 | lsh_bucket_topk | L=8, r=10, multiprobe 4 flips | {lmp['wall_s']}s | recall@{K} {lmp['recall_at_k']} / strong {lmp['recall_strong']} | 5x probes, corpus side untouched |
 | ivf_topk | K=64 anchors, nprobe=8 | {ivf['wall_s']}s | recall@{K} {ivf['recall_at_k']} / strong {ivf['recall_strong']} | cell equi-join |
 | embedding_near_dup_pairs | t=0.9, L=4, r=16 | {nd9['wall_s']}s | recall {nd9['recall']} ({nd9['found_pairs']:,} found / {nd9['true_pairs']:,} true, +{nd9['beyond_construction']} beyond construction) | max band bucket {nd9['max_band_bucket']:,}; max task rows {nd9['max_task_rows']:,}/{nd9['n_tasks']} tasks |
+| embedding_near_dup_pairs | t=0.9, L=4, r=16, multiprobe 2 flips | {nd2['wall_s']}s | recall {nd2['recall']} ({nd2['found_pairs']:,} found, +{nd2['beyond_construction']} beyond construction) | probe side 3x, home side untouched; max task rows {nd2['max_task_rows']:,}/{nd2['n_tasks']} tasks |
+| embedding_near_dup_pairs | t=0.9, L=4, r=16, multiprobe 4 flips | {nd4['wall_s']}s | recall {nd4['recall']} ({nd4['found_pairs']:,} found, +{nd4['beyond_construction']} beyond construction) | probe side 5x; max task rows {nd4['max_task_rows']:,}/{nd4['n_tasks']} tasks |
 
 Exact top-{K} includes ~3 background neighbors per query (max of 10^6 random
 64-dim cosines ~0.6) — overall recall@k counts those; "strong" recall
