@@ -573,20 +573,28 @@ def embedding_near_dup_pairs(
         .select("table_id", "key")
     )
     capped = keyed.join(F.broadcast(big), ["table_id", "key"], "left_anti")
-    # candidate generation carries BARE id pairs only — the first build
-    # carried both 64-float vectors through the dedup shuffle, and at 10^6
-    # vectors with multiprobe the ~half-kilobyte rows OOM-killed the host
-    # (the candidate stream is the biggest intermediate in the job; ids are
-    # 16 bytes, vectors 30x that). Vectors are joined back AFTER the
-    # distinct, exactly like the DuckDB oracle's shape.
+    # Scale shape of the candidate stage: both join sides CARRY their vector,
+    # and the exact cosine + threshold filter run INLINE in the join stage —
+    # the candidate stream (avg_bucket x rows, ~300M rows at 10^6 vectors)
+    # is pipelined through whole-stage codegen and never shuffled; only the
+    # ~true pairs reach the distinct. The two tempting alternatives both die
+    # at 10^6: dedup bare id pairs then join the vectors back = the full
+    # candidate set crosses TWO shuffle joins at ~0.5 KB/row (~165 GB of
+    # shuffle, OOM-killed this host); distinct BEFORE the cosine with
+    # vectors in the rows = the same half-kilobyte rows through the dedup
+    # exchange. Shuffle here is exactly the keyed input: |emb| x L (home)
+    # plus |emb| x L x (1+flips) (probe side). Cosine is orientation-
+    # invariant bit-for-bit (per-term products commute, summation order is
+    # the array index either way), so the duplicate orientations collapse
+    # exactly in the distinct.
     if multiprobe_flips:
         probe = lsh_probes_by_table(
             emb, dim, n_tables, planes_per_table,
             id_col=id_col, vec_col=vec_col,
             multiprobe_flips=multiprobe_flips,
-        ).drop("v")
-        a, b = probe.alias("a"), capped.drop("v").alias("b")
-        cand = (
+        )
+        a, b = probe.alias("a"), capped.alias("b")
+        scored = (
             a.join(
                 b,
                 (F.col("a.table_id") == F.col("b.table_id"))
@@ -596,26 +604,21 @@ def embedding_near_dup_pairs(
             .select(
                 F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
                 F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
             )
         )
     else:
-        a, b = capped.drop("v").alias("a"), capped.drop("v").alias("b")
-        cand = a.join(
+        a, b = capped.alias("a"), capped.alias("b")
+        scored = a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vid") < F.col("b.vid")),
         ).select(
             F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
-    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.dropDuplicates(["vec_a", "vec_b"])
-        .join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        scored.filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b", "cos_sim"])
     )
