@@ -126,7 +126,7 @@ def edit_distance_pairs(
         freq = var.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
         var = (
             var.join(
-                freq.filter(F.col("_n") <= max_bucket).hint("shuffle_hash"),
+                freq.filter(F.col("_n") <= max_bucket).hint("merge"),
                 "variant",
                 "inner",
             )
@@ -146,9 +146,14 @@ def edit_distance_pairs(
     # never broadcastable at design scale; AQE's size estimate of the
     # post-explode side can be wildly low and a mis-planned broadcast of
     # ~1e8 variant rows kills the driver on maxResultSize (measured at 1e6
-    # strings d=2 — 137M variants). Pin the physical strategy.
+    # strings d=2 — 137M variants). Pin SORT-MERGE specifically: a
+    # shuffle_hash pin trades the driver death for an executor one — SHJ
+    # builds a per-partition in-memory hash map of the build side, which
+    # cannot spill, and 137M variant rows / 64 partitions blew task
+    # execution memory ("not enough memory to build hash map"). SMJ spills
+    # both sides and is the only strategy that survives the design scale.
     cand = (
-        a.join(b.hint("shuffle_hash"), "variant")
+        a.join(b.hint("merge"), "variant")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()

@@ -122,11 +122,14 @@ def test_invalid_distance_rejected(spark):
         edit_distance_pairs(_df(spark, [(0, "a")]), "id", "s", 3)
 
 
-def test_join_is_pinned_shuffle_hash_never_broadcast(spark):
+def test_join_is_pinned_sort_merge_never_broadcast(spark):
     """Both join sides are variant-exploded and never broadcastable at
     design scale; AQE's post-explode size mis-estimate once planned a 137M
-    -row broadcast that killed the driver on maxResultSize. The shuffle_hash
-    hint must pin the physical strategy regardless of estimated sizes."""
+    -row broadcast that killed the driver on maxResultSize, and the first
+    fix (shuffle_hash) died in the executor instead: the SHJ build-side
+    hash map cannot spill ("not enough memory to build hash map" at 137M
+    variant rows / 64 partitions). The merge hint must pin spillable
+    sort-merge regardless of estimated sizes."""
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(["abc", "abd", "xyz", "xy"])],
         "id long, s string",
@@ -137,4 +140,5 @@ def test_join_is_pinned_shuffle_hash_never_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastExchange" not in plan, kwargs
-        assert "ShuffledHashJoin" in plan, kwargs
+        assert "SortMergeJoin" in plan, kwargs
+        assert "ShuffledHashJoin" not in plan, kwargs

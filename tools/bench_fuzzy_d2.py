@@ -4,7 +4,7 @@ Round-5 ops note (BENCH/TIMESERIES.md): the ~137M-variant d=2 self-join hit
 AQE's post-explode size mis-estimate, got planned as a broadcast, and killed
 the driver on spark.driver.maxResultSize; the round-5 run only completed with
 a manual session-wide autoBroadcastJoinThreshold=-1. Round 6 moved the fix
-into the operator (`ops/fuzzy.py`: shuffle_hash hint on the variant joins),
+into the operator (`ops/fuzzy.py`: spillable sort-merge pinned on the variant joins),
 so this re-run deliberately uses a PLAIN tool_spark session — no conf
 workaround — and succeeds iff the hint pins the physical strategy.
 
@@ -40,7 +40,7 @@ def main() -> int:
     pairs = edit_distance_pairs(stored, "id", "s", max_distance=2)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan, "hint failed to pin the strategy"
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan
 
     t0 = time.time()
     n_pairs = pairs.count()
@@ -53,14 +53,14 @@ def main() -> int:
         "exact": n_pairs == expected,
         "wall_s": wall,
         "confs": "DEFAULT (no autoBroadcastJoinThreshold workaround)",
-        "plan": "ShuffledHashJoin pinned, no BroadcastExchange",
+        "plan": "SortMergeJoin pinned, no BroadcastExchange",
     }
     print("RESULT " + json.dumps(out))
     append_bench(
         "TIMESERIES.md",
         f"\n## fuzzy d=2 re-run, default confs — {utc_stamp()}\n\n"
-        f"The r5 d=2 driver-death is fixed IN CODE (`ops/fuzzy.py` shuffle_hash\n"
-        f"hints): {n_strings:,} strings, d=2, plan asserted broadcast-free, "
+        f"The r5 d=2 driver-death is fixed IN CODE (`ops/fuzzy.py` sort-merge\n"
+        f"pins): {n_strings:,} strings, d=2, plan asserted broadcast-free, "
         f"completed in {wall}s with {n_pairs:,} pairs "
         f"({'EXACT closed-form match' if out['exact'] else 'MISMATCH'}) — no "
         f"session conf workaround.\n",

@@ -224,10 +224,13 @@ def main() -> int:
           and "ArrowEvalPython" not in fz)
     # ... and NEVER broadcasts: both sides are variant-exploded, AQE's size
     # mis-estimate once planned a 137M-row broadcast that killed the driver
-    # (BENCH/TIMESERIES.md). The shuffle_hash hint must pin the strategy.
-    check("fuzzy join never plans a BroadcastExchange",
-          "BroadcastExchange" not in fz and "ShuffledHashJoin" in fz,
-          f"bcast={'BroadcastExchange' in fz} shj={'ShuffledHashJoin' in fz}")
+    # (BENCH/TIMESERIES.md). The merge hint must pin SORT-MERGE: a
+    # shuffle_hash pin dies instead in the executor (the SHJ build map
+    # cannot spill — "not enough memory to build hash map" at 137M rows).
+    check("fuzzy join pins spillable sort-merge, never broadcast/SHJ",
+          "BroadcastExchange" not in fz and "SortMergeJoin" in fz
+          and "ShuffledHashJoin" not in fz,
+          f"bcast={'BroadcastExchange' in fz} smj={'SortMergeJoin' in fz}")
     # turn repetition: ONE exchange (the lag window), no Python eval
     tr_ = plan_of(e.queries()["turn_repetition"](spark, sf_dir), "simple")
     n_ex = tr_.count("Exchange hashpartitioning")
