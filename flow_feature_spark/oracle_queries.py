@@ -1184,7 +1184,16 @@ FROM sess
 def whole_table_features_sql(dialect: str) -> str:
     """pcap-mode full 72-vector: one row for the whole table, plus the
     distinct-endpoint count (dst_sets analog). Same exact-domain machinery as
-    feature_vector_sql; a gap larger than any dataset keeps one session."""
+    feature_vector_sql; a gap larger than any dataset keeps one session.
+
+    The single-partition window ("No Partition Defined" warning) is this
+    operator's SEMANTIC, not a plan defect: the reference's pcap mode
+    (get_flow_feature.py) computes ONE flow over the whole capture, so the
+    lag-based gap features are an ordered pass over one logical flow. At
+    scale that decomposes exactly like a hot conversation does — run the
+    bucketized sessionizer path (assign_sessions_bucketed + the exact-SQL
+    kernel), which computes the same lag/gap features with two bounded
+    passes and no single-partition shuffle."""
     huge_gap = 10**15  # µs — no session splits
     base = feature_vector_sql(dialect, gap_us=huge_gap)
     # swap the per-conv turns CTE for the whole-table one and attach dst_sets
