@@ -418,10 +418,20 @@ def ivf_topk(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
             F.expr(dots_sql).alias("_dots"),
         )
+        # coalesce(x, 0) is an identity here (the anchor array is non-empty,
+        # array_position always hits) but makes `cell` STATICALLY
+        # non-nullable — without it the cell equi-join adds IsNotNull(cell),
+        # and pushdown inlines the full K x dim argmax expression into the
+        # scan's data filter: Catalyst then plans/codegens a multi-megabyte
+        # duplicated tree (measured 7 s/call warm at 500 rows; 2 s with the
+        # coalesce, identical results)
         keyed = based.select(
             "vid", "v",
-            F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
-            .cast("int").alias("cell"),
+            F.coalesce(
+                F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
+                .cast("int"),
+                F.lit(0),
+            ).alias("cell"),
         )
     else:
         chunks = []
