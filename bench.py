@@ -157,6 +157,11 @@ def main() -> int:
             "minhash_lsh_pairs",
             "simhash_docs",
             "cosine_topk",
+            # r6: the two queries whose plans changed this round (multiprobe
+            # inline-cosine candidate stage; non-nullable IVF cell key) —
+            # tracked so a plan regression shows in the round-over-round diff
+            "embedding_near_dup",
+            "ivf_topk",
             "text_analysis",
             "turn_repetition",
         )
