@@ -373,17 +373,52 @@ def compact_table(
 SNAPSHOT_LOG = "_FFS_SNAPSHOTS.json"
 
 
-def _read_log(spark: SparkSession, table_path: str) -> list[dict]:
-    fs, _ = _hadoop_fs(spark, table_path)
-    lp = spark._jvm.org.apache.hadoop.fs.Path(table_path, SNAPSHOT_LOG)
-    if not fs.exists(lp):
-        return []
-    stream = fs.open(lp)
+def _slurp(spark: SparkSession, fs, path) -> str:
+    stream = fs.open(path)
     try:
-        content = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return json.loads(content)
+
+
+def _read_log(spark: SparkSession, table_path: str) -> list[dict]:
+    fs, _ = _hadoop_fs(spark, table_path)
+    jvm = spark._jvm
+    lp = jvm.org.apache.hadoop.fs.Path(table_path, SNAPSHOT_LOG)
+    if fs.exists(lp):
+        return json.loads(_slurp(spark, fs, lp))
+    # Log file absent. _write_log replaces the log by delete-then-rename
+    # (Hadoop rename does not overwrite), so a crash inside that window
+    # leaves NO log but a fully-written tmp — recover from the newest
+    # parseable one. Treating "no log" as "empty table" here would be a
+    # DATA-LOSS bug: write_snapshot would restart ids at 1 and reclaim
+    # committed snap dirs as orphans.
+    glob = jvm.org.apache.hadoop.fs.Path(table_path, f"{SNAPSHOT_LOG}.tmp.*")
+    tmps = sorted(
+        (fs.globStatus(glob) or []),
+        key=lambda st: st.getModificationTime(),
+        reverse=True,
+    )
+    for st in tmps:
+        try:
+            return json.loads(_slurp(spark, fs, st.getPath()))
+        except ValueError:
+            continue  # partial write from a crash mid-create; try older
+    # No log, no recoverable tmp. A single snap dir is the documented
+    # first-commit crash (data written, log commit never started) and must
+    # stay retryable; MORE than one directory means a committed history
+    # whose log vanished — refuse to silently restart it as a fresh table.
+    snaps = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(table_path, "snap-*")
+    ) or []
+    if len(snaps) > 1:
+        raise IOError(
+            f"snapshot log missing at {table_path} but "
+            f"{len(snaps)} snap-* directories exist — the log was lost "
+            "outside the commit protocol; restore it (or a "
+            f"{SNAPSHOT_LOG}.tmp.* copy) before writing"
+        )
+    return []
 
 
 def _write_log(spark: SparkSession, table_path: str, entries: list[dict]) -> None:
@@ -402,8 +437,19 @@ def _write_log(spark: SparkSession, table_path: str, entries: list[dict]) -> Non
         fs.delete(tmp, False)
         raise IOError(f"snapshot log commit failed: could not replace {final}")
     if not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise IOError(f"snapshot log commit failed: rename returned false")
+        # KEEP the tmp: the old log is already deleted, so this tmp is now
+        # the only complete copy — _read_log's recovery path restores from
+        # it. Deleting it here would make the rename failure a total loss.
+        raise IOError(
+            f"snapshot log commit failed: rename returned false; "
+            f"log recoverable from {tmp}"
+        )
+    # success — reap stale tmps from earlier crashed commits (single-writer
+    # protocol; any tmp other than ours is dead weight that could only
+    # confuse a future recovery)
+    glob = jvm.org.apache.hadoop.fs.Path(table_path, f"{SNAPSHOT_LOG}.tmp.*")
+    for st in fs.globStatus(glob) or []:
+        fs.delete(st.getPath(), False)
 
 
 def _raw_dirs(entry: dict) -> list | None:
@@ -704,6 +750,26 @@ def read_snapshot_pruned(
     return out.filter(cond)
 
 
+def _inherit_spec(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: tuple[str, ...] | None,
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Default a COW rewrite's partition spec and zone-map columns to the
+    parent entry's. Every operation that rewrites the CURRENT state (merge,
+    group replace, compaction) must preserve both unless the caller
+    explicitly changes them: flattening the spec breaks the bounded-replace
+    path ('requires the table partitioned by ...'), and dropping stats_cols
+    silently turns read_snapshot_pruned into a full scan. Pass ``()`` to
+    deliberately flatten."""
+    log = _read_log(spark, table_path)
+    parent = log[-1] if log else {}
+    if partition_cols is None:
+        partition_cols = tuple(parent.get("partition_cols") or [])
+    stats_cols = tuple(parent.get("stats_cols") or [])
+    return partition_cols, stats_cols
+
+
 def compact_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -729,6 +795,10 @@ def compact_snapshot(
     log = _read_log(spark, table_path)
     if partition_cols is None and log:
         partition_cols = tuple(log[-1].get("partition_cols") or [])
+    # same symmetry for zone maps: compacting a stats-tracked table must
+    # not silently turn read_snapshot_pruned into a full scan
+    if stats_cols is None and log:
+        stats_cols = tuple(log[-1].get("stats_cols") or [])
     cur = read_snapshot(spark, table_path)
     parts = list(partition_cols) if partition_cols else []
     compacted = (
@@ -911,12 +981,16 @@ def merge_snapshot(
         updates.filter(~F.col(delete_col)) if delete_col else updates
     ).select(*current.columns)
     kept = current.join(touched, on=list(key_cols), how="left_anti")
+    partition_cols, stats_cols = _inherit_spec(
+        spark, table_path, partition_cols
+    )
     return write_snapshot(
         kept.unionByName(upserts),
         table_path,
         job=job,
         operation="merge",
         partition_cols=partition_cols,
+        stats_cols=stats_cols,
     )
 
 
@@ -952,12 +1026,16 @@ def replace_groups_snapshot(
         raise ValueError(f"group columns not in table: {missing}")
     touched = updates.select(*group_cols).distinct()
     kept = current.join(touched, on=list(group_cols), how="left_anti")
+    partition_cols, stats_cols = _inherit_spec(
+        spark, table_path, partition_cols
+    )
     return write_snapshot(
         kept.unionByName(updates.select(*current.columns)),
         table_path,
         job=job,
         operation="merge",
         partition_cols=partition_cols,
+        stats_cols=stats_cols,
     )
 
 

@@ -386,3 +386,124 @@ def test_compact_preserves_partition_spec_and_bounded_replace(spark, tmp_path):
     # explicit () deliberately flattens
     e2 = compact_snapshot(spark, tp, target_files=1, partition_cols=())
     assert e2["partition_cols"] == []
+
+
+def test_log_crash_window_recovers_from_tmp_not_data_loss(spark, tmp_path):
+    """_write_log replaces the log by delete-then-rename; a crash inside
+    that window leaves NO log but a complete tmp. _read_log must recover
+    from the tmp — treating the state as an empty table would restart ids
+    at 1 and the orphan reclaim would DELETE committed snapshot data."""
+    import json
+    import os
+
+    tp = str(tmp_path / "rtbl")
+    write_snapshot(spark.createDataFrame([("a", 1)], "k string, v int"), tp)
+    write_snapshot(
+        spark.createDataFrame([("b", 2)], "k string, v int"), tp,
+        operation="append",
+    )
+    log_path = os.path.join(tp, "_FFS_SNAPSHOTS.json")
+    content = open(log_path).read()
+    # simulate the crash: tmp written, old log deleted, rename never ran
+    open(os.path.join(tp, "_FFS_SNAPSHOTS.json.tmp.deadbeef"), "w").write(content)
+    os.remove(log_path)
+    got = {r["k"] for r in read_snapshot(spark, tp).collect()}
+    assert got == {"a", "b"}
+    # the next commit proceeds from the recovered history, ids intact
+    e = write_snapshot(
+        spark.createDataFrame([("c", 3)], "k string, v int"), tp,
+        operation="append",
+    )
+    assert e["snapshot_id"] == 3
+    assert {r["k"] for r in read_snapshot(spark, tp).collect()} == {"a", "b", "c"}
+    # log healed on disk; stale tmp reaped
+    assert os.path.exists(log_path)
+    assert len(json.loads(open(log_path).read())) == 3
+    assert not [
+        f for f in os.listdir(tp) if f.startswith("_FFS_SNAPSHOTS.json.tmp.")
+    ]
+    # a partial (unparseable) NEWER tmp must not poison recovery either
+    open(os.path.join(tp, "_FFS_SNAPSHOTS.json.tmp.ffff"), "w").write(
+        open(log_path).read()[: 40]
+    )
+    assert {r["k"] for r in read_snapshot(spark, tp).collect()} == {"a", "b", "c"}
+
+
+def test_log_lost_with_committed_dirs_raises_not_fresh_table(spark, tmp_path):
+    """No log, no tmp, MULTIPLE snap dirs = a committed history whose log
+    vanished outside the commit protocol. Reading or writing must refuse
+    loudly — silently restarting as a fresh table reclaims (deletes)
+    committed data. One lone snap dir stays retryable (the documented
+    first-commit crash)."""
+    import os
+
+    import pytest as _pytest
+
+    tp = str(tmp_path / "ltbl")
+    write_snapshot(spark.createDataFrame([("a", 1)], "k string, v int"), tp)
+    write_snapshot(
+        spark.createDataFrame([("b", 2)], "k string, v int"), tp,
+        operation="append",
+    )
+    os.remove(os.path.join(tp, "_FFS_SNAPSHOTS.json"))
+    with _pytest.raises(Exception, match="snapshot log missing"):
+        read_snapshot(spark, tp)
+    with _pytest.raises(Exception, match="snapshot log missing"):
+        write_snapshot(spark.createDataFrame([("x", 9)], "k string, v int"), tp)
+    # committed data untouched by the refusals
+    assert os.path.isdir(os.path.join(tp, "snap-000001"))
+    assert os.path.isdir(os.path.join(tp, "snap-000002"))
+
+
+def test_compact_and_merge_inherit_stats_cols_zone_maps_survive(spark, tmp_path):
+    """A COW rewrite (compaction, merge, group replace) of a stats-tracked
+    table must re-collect the zone-map sidecar — dropping it silently turns
+    read_snapshot_pruned into a full scan."""
+    import os
+
+    from flow_feature_spark.io import (
+        compact_snapshot,
+        merge_snapshot,
+        replace_groups_snapshot,
+    )
+
+    tp = str(tmp_path / "ztbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("ts")
+    )
+    write_snapshot(df, tp, stats_cols=("ts",))
+    e = compact_snapshot(spark, tp, target_files=2)
+    assert e["stats_cols"] == ["ts"]
+    assert os.path.exists(os.path.join(tp, "snap-000002", "_zonemap.json"))
+    upd = spark.createDataFrame([(5, 999)], "k long, ts long")
+    e2 = merge_snapshot(upd, tp, ("k",))
+    assert e2["stats_cols"] == ["ts"]
+    assert os.path.exists(os.path.join(tp, "snap-000003", "_zonemap.json"))
+    e3 = replace_groups_snapshot(upd, tp, ("k",))
+    assert e3["stats_cols"] == ["ts"]
+    assert os.path.exists(os.path.join(tp, "snap-000004", "_zonemap.json"))
+
+
+def test_merge_inherits_partition_spec_bounded_replace_survives(spark, tmp_path):
+    """merge_snapshot (and replace_groups_snapshot) must default to the
+    parent's partition spec — one merge without partition_cols used to
+    flatten the table and permanently break replace_groups_partitioned."""
+    from flow_feature_spark.io import merge_snapshot, replace_groups_partitioned
+
+    tp = str(tmp_path / "mtbl")
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("b", 1, 2)], "k string, bucket int, v int"
+    )
+    write_snapshot(df, tp, partition_cols=("bucket",))
+    e = merge_snapshot(
+        spark.createDataFrame([("a", 0, 10)], "k string, bucket int, v int"),
+        tp, ("k",),
+    )
+    assert e["partition_cols"] == ["bucket"]
+    # the bounded-replace path still works after the merge
+    e2 = replace_groups_partitioned(
+        spark.createDataFrame([("b", 1, 20)], "k string, bucket int, v int"),
+        tp, ("k",), "bucket",
+    )
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, tp).collect()}
+    assert got == {"a": 10, "b": 20}
