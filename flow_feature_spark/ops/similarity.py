@@ -131,16 +131,29 @@ def cosine_topk(
     """Exact top-k cosine neighbors of the first ``n_queries`` vectors."""
     from pyspark.sql import Window as W
 
+    # r7: precompute each side's sqrt(norm2) ONCE PER ROW before the cross
+    # join — the norm is a per-vector quantity, but the inline ``cosine``
+    # recomputed both folds for every (query, candidate) pair (n_queries x
+    # for the corpus norm). Same expressions in the same order, so the
+    # doubles — and the r6-rounded cos_sim — are bit-identical (guide §2.3:
+    # don't compute per-key work per-pair).
     q = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.sqrt(_norm2(F.col(vec_col), dim)).alias("_qsn"),
     )
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.sqrt(_norm2(F.col(vec_col), dim)).alias("_csn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id", "cand_id",
-            cosine(F.col("qv"), F.col("cv"), dim).alias("cos_sim"),
+            _r6(
+                _dot(F.col("qv"), F.col("cv"), dim)
+                / (F.col("_qsn") * F.col("_csn"))
+            ).alias("cos_sim"),
         )  # dim=None default -> HOF fold (measured faster; see _dot)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -541,6 +554,123 @@ def lsh_probes_by_table(
     return out
 
 
+# chunk bound for the per-bucket dot matrix: 8M float64 cells = 64 MB
+_MATRIX_CELL_BUDGET = 8_000_000
+
+
+def _exact_dot_matrix(av, bv):
+    """(n_a x n_b) dot matrix with the HOF fold's exact IEEE evaluation
+    order: float32 -> float64 casts first, then a left-to-right column
+    accumulation ``acc = acc + a[:, j] * b[:, j]`` — bit-identical doubles
+    to ``aggregate(zip_with(...))`` on the JVM."""
+    import numpy as np
+
+    acc = np.zeros((av.shape[0], bv.shape[0]), dtype=np.float64)
+    for col in range(av.shape[1]):
+        acc = acc + av[:, col][:, None] * bv[:, col][None, :]
+    return acc
+
+
+def _empty_pairs(id_dtype):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "vec_a": pd.Series(dtype=id_dtype),
+        "vec_b": pd.Series(dtype=id_dtype),
+        "cos_sim": pd.Series(dtype="float64"),
+    })
+
+
+def _bucket_pair_scorer(threshold: float, max_bucket_size: int,
+                        self_pairs: bool):
+    """Cogrouped per-bucket scorer: probe rows x home rows, exact cosine,
+    threshold filter, canonicalized (min, max) pair output. The home-side
+    bucket cap is applied here (len(home) > cap -> no candidates from this
+    bucket), identical to the r6 broadcast anti-join semantics."""
+
+    def score(probe_pdf, home_pdf):
+        import numpy as np
+
+        h = len(home_pdf)
+        if h == 0 or h > max_bucket_size or len(probe_pdf) == 0:
+            return _empty_pairs(home_pdf["vid"].dtype if h else
+                                probe_pdf["vid"].dtype)
+        hv = np.stack(home_pdf["v"].to_numpy()).astype(np.float64)
+        pv = np.stack(probe_pdf["v"].to_numpy()).astype(np.float64)
+        hid = home_pdf["vid"].to_numpy()
+        pid = probe_pdf["vid"].to_numpy()
+        hsn = home_pdf["_sn"].to_numpy()
+        psn = probe_pdf["_sn"].to_numpy()
+        outs = []
+        step = max(1, _MATRIX_CELL_BUDGET // h)
+        for lo in range(0, len(pid), step):
+            acc = _exact_dot_matrix(pv[lo:lo + step], hv)
+            den = psn[lo:lo + step][:, None] * hsn[None, :]
+            cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
+            keep = (cos >= threshold) & (
+                pid[lo:lo + step][:, None] != hid[None, :]
+            )
+            pi, hj = np.nonzero(keep)
+            if len(pi) == 0:
+                continue
+            va, vb = pid[lo:lo + step][pi], hid[hj]
+            outs.append(_pair_frame(va, vb, cos[keep]))
+        return _concat_pairs(outs, home_pdf["vid"].dtype)
+
+    return score
+
+
+def _bucket_self_scorer(threshold: float, max_bucket_size: int):
+    """GroupBy per-bucket scorer for the flips=0 path: all (vid_a < vid_b)
+    pairs within the home bucket — the r6 self-join's exact condition."""
+
+    def score(home_pdf):
+        import numpy as np
+
+        h = len(home_pdf)
+        if h < 2 or h > max_bucket_size:
+            return _empty_pairs(home_pdf["vid"].dtype)
+        hv = np.stack(home_pdf["v"].to_numpy()).astype(np.float64)
+        hid = home_pdf["vid"].to_numpy()
+        hsn = home_pdf["_sn"].to_numpy()
+        outs = []
+        step = max(1, _MATRIX_CELL_BUDGET // h)
+        for lo in range(0, h, step):
+            acc = _exact_dot_matrix(hv[lo:lo + step], hv)
+            den = hsn[lo:lo + step][:, None] * hsn[None, :]
+            cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
+            keep = (cos >= threshold) & (
+                hid[lo:lo + step][:, None] < hid[None, :]
+            )
+            ai, bj = np.nonzero(keep)
+            if len(ai) == 0:
+                continue
+            outs.append(_pair_frame(hid[lo:lo + step][ai], hid[bj], cos[keep],
+                                    canonical=True))
+        return _concat_pairs(outs, home_pdf["vid"].dtype)
+
+    return score
+
+
+def _pair_frame(va, vb, cos, canonical: bool = False):
+    import numpy as np
+    import pandas as pd
+
+    if canonical:
+        a, b = va, vb
+    else:
+        a, b = np.minimum(va, vb), np.maximum(va, vb)
+    return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": cos})
+
+
+def _concat_pairs(outs, id_dtype):
+    import pandas as pd
+
+    if not outs:
+        return _empty_pairs(id_dtype)
+    return pd.concat(outs, ignore_index=True)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     dim: int,
@@ -565,70 +695,122 @@ def embedding_near_dup_pairs(
     construction -> broadcast anti-join, no extra big shuffle.
 
     ``multiprobe_flips`` lifts recall without more tables (the same trick
-    that took the top-k side's recall@10 0.755 -> 0.949): one join side is
-    replaced by the probe-expanded keying of ``lsh_probes_by_table`` — pair
-    (a, b) is found when EITHER side's probe set reaches the other's home
-    bucket, so the join stays asymmetric (home side unchanged, probe side
-    at most (1 + flips) times larger) and the candidate canonicalization
-    (least/greatest + distinct) removes the double-count. Probe rows aimed
-    at a capped bucket match nothing — the cap stays a home-side property.
+    that took the top-k side's recall@10 0.755 -> 0.949): the probe side is
+    the probe-expanded keying (home bucket plus flipped-margin buckets) —
+    pair (a, b) is found when EITHER side's probe set reaches the other's
+    home bucket, and the candidate canonicalization (min/max + distinct)
+    removes the double-count. Probe rows aimed at a capped bucket match
+    nothing — the cap stays a home-side property.
+
+    Dense, non-null vectors are assumed (a null vector or null element
+    could never produce an output pair anyway — its cosine is NULL).
     """
-    keyed = lsh_keyed_by_table(
-        emb, dim, n_tables, planes_per_table, id_col=id_col, vec_col=vec_col
-    )
-    big = (
-        keyed.groupBy("table_id", "key")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > max_bucket_size)
-        .select("table_id", "key")
-    )
-    capped = keyed.join(F.broadcast(big), ["table_id", "key"], "left_anti")
-    # Scale shape of the candidate stage: both join sides CARRY their vector,
-    # and the exact cosine + threshold filter run INLINE in the join stage —
-    # the candidate stream (avg_bucket x rows, ~300M rows at 10^6 vectors)
-    # is pipelined through whole-stage codegen and never shuffled; only the
-    # ~true pairs reach the distinct. The two tempting alternatives both die
-    # at 10^6: dedup bare id pairs then join the vectors back = the full
-    # candidate set crosses TWO shuffle joins at ~0.5 KB/row (~165 GB of
-    # shuffle, OOM-killed this host); distinct BEFORE the cosine with
-    # vectors in the rows = the same half-kilobyte rows through the dedup
-    # exchange. Shuffle here is exactly the keyed input: |emb| x L (home)
-    # plus |emb| x L x (1+flips) (probe side). Cosine is orientation-
-    # invariant bit-for-bit (per-term products commute, summation order is
-    # the array index either way), so the duplicate orientations collapse
-    # exactly in the distinct.
-    if multiprobe_flips:
-        probe = lsh_probes_by_table(
-            emb, dim, n_tables, planes_per_table,
-            id_col=id_col, vec_col=vec_col,
-            multiprobe_flips=multiprobe_flips,
+    # r7 restructuring, measured at sf1.0 (20k x 64-dim; 86.5 s -> ~4 s)
+    # and exact-checked against the DuckDB oracle:
+    #
+    # 1. ONE keying pass, persisted. The r6 plan referenced the keyed frame
+    #    three times (bucket-size aggregate, capped home side, probe side),
+    #    and Catalyst duplicated the whole 4-branch union under each — 12
+    #    per-table plane-dot projections of r*dim unrolled terms, each its
+    #    own WholeStageCodegen compile (~370 KB formatted plan; Janino fixed
+    #    cost was the headline suite's biggest line item, VERDICT r6 #2).
+    #    Computing the per-table keys AND probe key-sets in one projection
+    #    and persisting that frame leaves exactly n_tables big compiles
+    #    (guide §2.4: share one pass; §3.3: materialize to truncate a
+    #    duplicated plan). The persisted frame is |emb| x L rows of
+    #    (vid, v, sn, key[, pkeys]) — MEMORY_AND_DISK, spills gracefully.
+    # 2. sqrt(norm2(v)) is computed ONCE PER KEYED ROW (column ``_sn``), not
+    #    once per candidate pair — a per-vector quantity the r6 inline
+    #    ``cosine`` re-folded for every one of the ~O(n^2/2^r) candidates.
+    # 3. The candidate stage is a COGROUP by (table_id, key), scored as a
+    #    per-bucket dot MATRIX in numpy (guide §4.2: let Spark do the
+    #    shuffle, hand whole batches to vectorized native code). Vectors
+    #    cross the Arrow boundary once per KEYED row (|emb| x L x (1+flips)
+    #    rows) — never per candidate pair. The three alternatives all
+    #    measured worse at sf1.0 (14.5M candidates): inline JVM HOF cosine
+    #    25.5 s (interpreted per-element fold), fully unrolled codegen dot
+    #    154 s, mapInArrow over the join output 17 s (the JVM serializes
+    #    ~0.5 KB of vector copies per PAIR into Arrow). The cogroup: 3.7 s.
+    #    The numpy accumulation is an explicit left-to-right column loop in
+    #    float64 — the exact IEEE evaluation order of the HOF fold — so
+    #    cos_sim doubles are bit-identical (oracle-hash-pinned).
+    #    The per-group matrix is chunked to <=64 MB; the home side of a
+    #    group is bounded by ``max_bucket_size`` (the cap is now a
+    #    len(home)-check inside the group — identical semantics to the r6
+    #    broadcast anti-join, one less pass over the keyed frame). Residual
+    #    skew surface: a pathological probe inflow into one bucket
+    #    materializes as one pandas group (AQE cannot split a cogroup the
+    #    way it splits a join); expected inflow is |emb|*L*(1+flips)/2^r
+    #    rows per bucket, and the matrix work is capped by the home side.
+    r = planes_per_table
+    branches = []
+    for t in range(n_tables):
+        dots_sql = "array(" + ", ".join(
+            _dot_lit_sql(f"`{vec_col}`", _hyperplane(dim, t * r + p))
+            for p in range(r)
+        ) + ")"
+        d = emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_norm2(F.col(vec_col))).alias("_sn"),
+            F.expr(dots_sql).alias("_dots"),
         )
-        a, b = probe.alias("a"), capped.alias("b")
-        scored = (
-            a.join(
-                b,
-                (F.col("a.table_id") == F.col("b.table_id"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.vid") != F.col("b.vid")),
+        key_sql = "CAST((" + " + ".join(
+            f"(CASE WHEN _dots[{p}] >= 0D THEN {1 << p} ELSE 0 END)"
+            for p in range(r)
+        ) + ") AS INT)"
+        if multiprobe_flips:
+            flips_sql = (
+                f"slice(array_sort(transform(sequence(0, {r - 1}), "
+                f"p -> named_struct('m', abs(_dots[p]), 'p', p))), "
+                f"1, {multiprobe_flips})"
             )
-            .select(
-                F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
-                F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            k = d.select(
+                "vid", "v", "_sn",
+                F.lit(t).alias("table_id"),
+                F.expr(key_sql).alias("key"),
+                F.expr(flips_sql).alias("_flip"),
+            ).select(
+                "vid", "v", "_sn", "table_id", "key",
+                F.expr(
+                    "array_union(array(key), "
+                    "transform(_flip, s -> CAST(key ^ shiftleft(1, s.p) AS INT)))"
+                ).alias("_pkeys"),
+            )
+        else:
+            k = d.select(
+                "vid", "v", "_sn",
+                F.lit(t).alias("table_id"),
+                F.expr(key_sql).alias("key"),
+            )
+        branches.append(k)
+    keyed = branches[0]
+    for b in branches[1:]:
+        keyed = keyed.unionByName(b)
+    keyed = keyed.persist()
+    home = keyed.select("vid", "v", "_sn", "table_id", "key")
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_t}, vec_b {id_t}, cos_sim double"
+    if multiprobe_flips:
+        probe = keyed.select(
+            "vid", "v", "_sn", "table_id", F.explode("_pkeys").alias("key")
+        )
+        scored = (
+            probe.groupBy("table_id", "key")
+            .cogroup(home.groupBy("table_id", "key"))
+            .applyInPandas(
+                _bucket_pair_scorer(
+                    float(threshold), max_bucket_size, self_pairs=False
+                ),
+                schema=out_schema,
             )
         )
     else:
-        a, b = capped.alias("a"), capped.alias("b")
-        scored = a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        ).select(
-            F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        scored = (
+            home.groupBy("table_id", "key")
+            .applyInPandas(
+                _bucket_self_scorer(float(threshold), max_bucket_size),
+                schema=out_schema,
+            )
         )
-    return (
-        scored.filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["vec_a", "vec_b", "cos_sim"])
-    )
+    return scored.dropDuplicates(["vec_a", "vec_b", "cos_sim"])

@@ -476,3 +476,29 @@ def test_near_dup_multiprobe_superset_and_exact_values(spark, embs):
     assert multi_recall > base_recall or base_recall == 1.0, (
         f"base={base_recall:.3f} multi={multi_recall:.3f} n_true={len(brute)}"
     )
+
+
+def test_near_dup_bucket_cap_drops_oversized_buckets(spark):
+    """r7: the max_bucket_size cap moved from a broadcast anti-join to a
+    len(home)-check inside the cogrouped bucket scorer — semantics must be
+    unchanged: a bucket larger than the cap contributes NO candidate pairs
+    (its members still pair through other tables' buckets), on both the
+    flips=0 and the multiprobe path."""
+    import math
+
+    # 6 identical vectors: every table puts all of them in ONE bucket, so a
+    # cap below 6 suppresses every pair; a cap of >= 6 yields all 15 pairs.
+    vec = [1.0] * 64
+    rows = [(i, vec) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=64, threshold=0.9, n_tables=4, planes_per_table=8)
+    for flips in (0, 2):
+        capped = sim.embedding_near_dup_pairs(
+            df, max_bucket_size=5, multiprobe_flips=flips, **kw
+        ).collect()
+        assert capped == [], f"flips={flips}: capped bucket must emit nothing"
+        full = sim.embedding_near_dup_pairs(
+            df, max_bucket_size=6, multiprobe_flips=flips, **kw
+        ).collect()
+        assert len(full) == 15, f"flips={flips}"
+        assert all(math.isclose(r["cos_sim"], 1.0) for r in full)

@@ -33,14 +33,14 @@ def main() -> int:
     qmap = entrymod.queries()
 
     stamp = utc_stamp()
-    md = [f"", f"## Query detail ({stamp}) — {sf_dir}, local[32], 5 runs + warm-up", "",
+    md = [f"", f"## Query detail ({stamp}) — {sf_dir}, local[32], $BENCH_RUNS (default 5) runs + warm-up", "",
           "| query | min s | median s | runs |", "|---|---|---|---|"]
     plans = []
     for name in names:
         df = qmap[name](spark, sf_dir)
         df.count()  # warm-up (codegen, broadcast build, file listing)
         runs = []
-        for _ in range(5):
+        for _ in range(int(os.environ.get("BENCH_RUNS", "5"))):
             t0 = time.time()
             qmap[name](spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
