@@ -67,9 +67,16 @@ def _sql(builder) -> Callable[[SparkSession, str], DataFrame]:
 # ---------------------------------------------------------------------------
 
 def _events_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> kernel input columns (FIXTURES.md §4 mapping), exact µs."""
+    """events -> kernel input columns (FIXTURES.md §4 mapping), exact µs.
+
+    r7: the row_number window partitions on the CAST STRING key (the same
+    expression the output exposes as conv_id) instead of the raw bigint —
+    identical groups and order, so turn_idx is unchanged, but downstream
+    windows/aggregations keyed on conv_id now reuse this exchange instead
+    of inserting a second hash(string) shuffle (guide §2.4: two operations
+    keyed the same way share one exchange)."""
     ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy(F.col("user_id").cast("string")).orderBy("ts", "event_id")
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.row_number().over(w).cast("int").alias("turn_idx"),
@@ -103,9 +110,15 @@ def q_feature_vector_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("conv_id", "session_id", "n_turns", *FEATURE_NAMES)
 
 
-def _session_feature_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compact per-session payload with feature availability ts (µs-exact)."""
-    turns = _events_turns(spark, sf_dir)
+def _session_feature_payload(
+    spark: SparkSession, sf_dir: str, turns: DataFrame | None = None
+) -> DataFrame:
+    """Compact per-session payload with feature availability ts (µs-exact).
+    Pass a (persisted) ``_events_turns`` frame to share the window pass with
+    the probe side — the as-of queries need both, and without sharing
+    Catalyst re-scans and re-windows the events table once per side."""
+    if turns is None:
+        turns = _events_turns(spark, sf_dir)
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     g = (
@@ -128,23 +141,26 @@ def _session_feature_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") % 7 == 1)
-        .select(
-            F.col("user_id").cast("string").alias("entity_id"),
-            F.col("ts").alias("probe_ts"),
-        )
+def _probes(
+    spark: SparkSession, sf_dir: str, turns: DataFrame | None = None
+) -> DataFrame:
+    """Every 7th event per user as a probe row. r7: derived from
+    ``_events_turns`` — its ``turn_idx`` IS the row_number over the identical
+    (user, ts, event_id) window this helper used to recompute — so callers
+    that need features AND probes can persist one turns frame and pay the
+    events window once (column pruning keeps the standalone cost unchanged)."""
+    t = turns if turns is not None else _events_turns(spark, sf_dir)
+    return t.filter(F.col("turn_idx") % 7 == 1).select(
+        F.col("conv_id").alias("entity_id"),
+        F.col("ts").alias("probe_ts"),
     )
 
 
 def q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 fast path: cogrouped pd.merge_asof engine vs DuckDB native ASOF."""
-    feats = _session_feature_payload(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
+    probes = _probes(spark, sf_dir, turns=turns)
     out = asof_join_merge(feats, probes, strict=True)
     return out.select(
         "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
@@ -153,8 +169,9 @@ def q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 production path: vectorized union sort-merge (same oracle)."""
-    feats = _session_feature_payload(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
+    probes = _probes(spark, sf_dir, turns=turns)
     out = asof_join_fast(feats, probes, strict=True)
     return out.select(
         "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
@@ -179,8 +196,9 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_feature_spark.streaming import stream_asof_attach
 
     _prep(spark)
-    feats = _session_feature_payload(spark, sf_dir)
-    probes = _probes(spark, sf_dir).select(
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
+    probes = _probes(spark, sf_dir, turns=turns).select(
         "entity_id", F.col("probe_ts").cast("timestamp").alias("probe_ts")
     )
     max_us = probes.agg(F.max(F.unix_micros("probe_ts"))).collect()[0][0]
@@ -240,8 +258,9 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + max-staleness: tolerance_seconds nulls matches older than 6 h."""
-    feats = _session_feature_payload(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
+    probes = _probes(spark, sf_dir, turns=turns)
     out = asof_join_fast(feats, probes, strict=True, tolerance_seconds=21600.0)
     return out.select(
         "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
@@ -774,7 +793,7 @@ def q_asof_running_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_feature_spark.sessionize import assign_sessions as _assign
     from flow_feature_spark.windows import cumulative_turn_features
 
-    turns = _events_turns(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
     sess = _assign(turns, gap_seconds=OQ.SESSION_GAP_S)
     run = cumulative_turn_features(sess, value_cols=("plen",))
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
@@ -809,7 +828,7 @@ def q_asof_running_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_n_turns", "run_plen_sum", "run_plen_std",
         )
     )
-    probes = _probes(spark, sf_dir)
+    probes = _probes(spark, sf_dir, turns=turns)
     out = asof_join_fast(rv, probes, strict=True)
     return out.select(
         "entity_id", "probe_ts", "run_n_turns", "run_plen_sum", "run_plen_std"
@@ -859,8 +878,9 @@ def q_proto_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_union_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 SQL-strategy build through the engine API (same oracle)."""
-    feats = _session_feature_payload(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
+    probes = _probes(spark, sf_dir, turns=turns)
     out = asof_join_union_window(feats, probes, strict=True)
     return out.select(
         "entity_id", "probe_ts", "session_id", "n_turns", "duration", "dpl_total_i"
@@ -887,7 +907,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain non-equi SQL join)."""
     from flow_feature_spark.rangejoin import interval_join_bucketed
 
-    turns = _events_turns(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
     sess = assign_sessions(turns, gap_seconds=OQ.SESSION_GAP_S)
     iv = (
         sess.groupBy("conv_id", "session_id")
@@ -898,7 +918,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("conv_id", "entity_id")
     )
-    probes = _probes(spark, sf_dir).withColumn(
+    probes = _probes(spark, sf_dir, turns=turns).withColumn(
         "ts_us", F.unix_micros(F.col("probe_ts").cast("timestamp"))
     )
     out = interval_join_bucketed(iv, probes, bucket_us=86_400_000_000)
@@ -1072,8 +1092,8 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained ASOF LEFT JOIN, a genuinely independent implementation."""
     from flow_feature_spark.featurestore import FeatureGroup, build_training_set
 
-    feats = _session_feature_payload(spark, sf_dir)
-    turns = _events_turns(spark, sf_dir)
+    turns = _events_turns(spark, sf_dir).persist()
+    feats = _session_feature_payload(spark, sf_dir, turns=turns)
     day = (
         turns.groupBy(
             "conv_id",
@@ -1094,7 +1114,7 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = build_training_set(
-        _probes(spark, sf_dir),
+        _probes(spark, sf_dir, turns=turns),
         {"sess": FeatureGroup(feats), "day": FeatureGroup(day)},
     )
     return out.select(

@@ -112,15 +112,25 @@ def zorder_table(
     record zone maps for ``stats_cols`` (default: the z-order columns).
     ONE range shuffle on the z-value; files get ~equal rows because
     repartitionByRange samples the (already rank-balanced) z-values."""
-    zcol = zorder_key(df, cols, bits=bits)
-    (
-        df.withColumn("__z", zcol)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("errorifexists")
-        .parquet(path)
-    )
+    # r7: the rewrite reads its input THREE times (the quantile-boundary
+    # pass, repartitionByRange's range-sampling pass, and the shuffle
+    # itself) — persist once so two of the passes read the materialized
+    # rows instead of re-scanning and re-decoding the source (guide §5:
+    # the frame is reused and recompute costs a full scan each time).
+    # Unpersisted before returning; results are layout-invariant anyway.
+    df = df.persist()
+    try:
+        zcol = zorder_key(df, cols, bits=bits)
+        (
+            df.withColumn("__z", zcol)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("errorifexists")
+            .parquet(path)
+        )
+    finally:
+        df.unpersist()
     return collect_file_stats(
         df.sparkSession, path, stats_cols if stats_cols is not None else cols
     )

@@ -161,11 +161,21 @@ def tfidf_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     tok = F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    # r7: persist the tf table — it feeds BOTH the score join and the
+    # document-frequency aggregate, and Catalyst inlines the shared subtree,
+    # re-tokenizing the whole corpus for the second reference (measured: the
+    # tokenize+explode+aggregate pass was 2.0 s of the 3.9 s query at sf1.0,
+    # paid twice; plans/r07/tfidf_topk_before.txt nodes 1-6 vs 7-15).
+    # MEMORY_AND_DISK: at corpus scale the tf table spills rather than
+    # re-tokenizing trillions of raw tokens (guide §5: cache when recompute
+    # cost exceeds the memory pressure — one |doc x token| table vs a second
+    # full tokenize of the corpus).
     tf = (
         df.select(F.col(id_col), tok)
         .filter(F.col("token") != "")
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
