@@ -798,7 +798,14 @@ def embedding_near_dup_pairs(
     keyed = branches[0]
     for b in branches[1:]:
         keyed = keyed.unionByName(b)
+    # Eager fill: the cogroup's TWO grouped sides reference this frame from
+    # concurrent shuffle-map stages — against a cold cache both stages
+    # compute the full keying union (measured at the 10^6 x r=16 cell: the
+    # plane-dot keying ran twice, ~+90 s). One cheap count materializes the
+    # cache exactly once before either side reads it (the same eager-
+    # materialization precedent as ops/cluster.py's localCheckpoint).
     keyed = keyed.persist()
+    keyed.count()
     home = keyed.select("vid", "v", "_sn", "table_id", "key")
     id_t = emb.schema[id_col].dataType.simpleString()
     out_schema = f"vec_a {id_t}, vec_b {id_t}, cos_sim double"
