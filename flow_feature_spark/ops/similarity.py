@@ -592,72 +592,103 @@ def _empty_pairs(id_dtype):
     })
 
 
-def _bucket_pair_scorer(threshold: float, max_bucket_size: int,
-                        self_pairs: bool):
-    """Cogrouped per-bucket scorer: probe rows x home rows, exact cosine,
-    threshold filter, canonicalized (min, max) pair output. The home-side
-    bucket cap is applied here (len(home) > cap -> no candidates from this
-    bucket), identical to the r6 broadcast anti-join semantics."""
+def _key_segments(keys):
+    """(order, uniq, starts, ends): stable-sort segmentation of ``keys`` —
+    rows of exact bucket ``uniq[i]`` are ``order[starts[i]:ends[i]]``."""
+    import numpy as np
+
+    order = np.argsort(keys, kind="stable")
+    uniq, starts = np.unique(keys[order], return_index=True)
+    ends = np.append(starts[1:], len(keys))
+    return order, uniq, starts, ends
+
+
+def _bucket_pair_scorer(threshold: float, max_bucket_size: int):
+    """Cogrouped scorer over a SUPER-group (table_id, key >> shift): rows are
+    sub-bucketed by their exact key in numpy, then each exact bucket scores
+    probe rows x home rows with the exact cosine, threshold filter, and
+    canonicalized (min, max) pair output. Pairs are only ever formed within
+    an exact (table_id, key) bucket — identical semantics at every shift;
+    the super-grouping exists purely to amortize the per-group Arrow/pandas
+    machinery at high plane counts (2^16 buckets/table = 262k groups
+    measured ~65 s of pure group overhead at 10^6 vectors). The home-side
+    bucket cap is applied per EXACT bucket (len > cap -> that bucket emits
+    nothing), identical to the r6 broadcast anti-join semantics."""
 
     def score(probe_pdf, home_pdf):
         import numpy as np
 
-        h = len(home_pdf)
-        if h == 0 or h > max_bucket_size or len(probe_pdf) == 0:
-            return _empty_pairs(home_pdf["vid"].dtype if h else
+        if len(home_pdf) == 0 or len(probe_pdf) == 0:
+            return _empty_pairs(home_pdf["vid"].dtype if len(home_pdf) else
                                 probe_pdf["vid"].dtype)
+        hkey = home_pdf["key"].to_numpy()
+        pkey = probe_pdf["key"].to_numpy()
         hv = np.stack(home_pdf["v"].to_numpy()).astype(np.float64)
         pv = np.stack(probe_pdf["v"].to_numpy()).astype(np.float64)
         hid = home_pdf["vid"].to_numpy()
         pid = probe_pdf["vid"].to_numpy()
         hsn = home_pdf["_sn"].to_numpy()
         psn = probe_pdf["_sn"].to_numpy()
+        ho, hu, hs, he = _key_segments(hkey)
+        po, pu, ps, pe = _key_segments(pkey)
         outs = []
-        step = max(1, _MATRIX_CELL_BUDGET // h)
-        for lo in range(0, len(pid), step):
-            acc = _exact_dot_matrix(pv[lo:lo + step], hv)
-            den = psn[lo:lo + step][:, None] * hsn[None, :]
-            cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
-            keep = (cos >= threshold) & (
-                pid[lo:lo + step][:, None] != hid[None, :]
-            )
-            pi, hj = np.nonzero(keep)
-            if len(pi) == 0:
+        _, hix, pix = np.intersect1d(hu, pu, return_indices=True)
+        for hi, pi_ in zip(hix, pix):
+            hsl = ho[hs[hi]:he[hi]]
+            h = len(hsl)
+            if h > max_bucket_size:
                 continue
-            va, vb = pid[lo:lo + step][pi], hid[hj]
-            outs.append(_pair_frame(va, vb, cos[keep]))
+            psl = po[ps[pi_]:pe[pi_]]
+            Hv, Hid, Hsn = hv[hsl], hid[hsl], hsn[hsl]
+            step = max(1, _MATRIX_CELL_BUDGET // h)
+            for lo in range(0, len(psl), step):
+                sl = psl[lo:lo + step]
+                acc = _exact_dot_matrix(pv[sl], Hv)
+                den = psn[sl][:, None] * Hsn[None, :]
+                cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
+                keep = (cos >= threshold) & (pid[sl][:, None] != Hid[None, :])
+                ki, kj = np.nonzero(keep)
+                if len(ki):
+                    outs.append(_pair_frame(pid[sl][ki], Hid[kj], cos[keep]))
         return _concat_pairs(outs, home_pdf["vid"].dtype)
 
     return score
 
 
 def _bucket_self_scorer(threshold: float, max_bucket_size: int):
-    """GroupBy per-bucket scorer for the flips=0 path: all (vid_a < vid_b)
-    pairs within the home bucket — the r6 self-join's exact condition."""
+    """Super-grouped scorer for the flips=0 path: per EXACT home bucket, all
+    (vid_a < vid_b) pairs — the r6 self-join's exact condition (see
+    ``_bucket_pair_scorer`` for the super-group rationale)."""
 
     def score(home_pdf):
         import numpy as np
 
-        h = len(home_pdf)
-        if h < 2 or h > max_bucket_size:
+        if len(home_pdf) < 2:
             return _empty_pairs(home_pdf["vid"].dtype)
+        hkey = home_pdf["key"].to_numpy()
         hv = np.stack(home_pdf["v"].to_numpy()).astype(np.float64)
         hid = home_pdf["vid"].to_numpy()
         hsn = home_pdf["_sn"].to_numpy()
+        ho, hu, hs, he = _key_segments(hkey)
         outs = []
-        step = max(1, _MATRIX_CELL_BUDGET // h)
-        for lo in range(0, h, step):
-            acc = _exact_dot_matrix(hv[lo:lo + step], hv)
-            den = hsn[lo:lo + step][:, None] * hsn[None, :]
-            cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
-            keep = (cos >= threshold) & (
-                hid[lo:lo + step][:, None] < hid[None, :]
-            )
-            ai, bj = np.nonzero(keep)
-            if len(ai) == 0:
+        for bi in range(len(hu)):
+            hsl = ho[hs[bi]:he[bi]]
+            h = len(hsl)
+            if h < 2 or h > max_bucket_size:
                 continue
-            outs.append(_pair_frame(hid[lo:lo + step][ai], hid[bj], cos[keep],
-                                    canonical=True))
+            Hv, Hid, Hsn = hv[hsl], hid[hsl], hsn[hsl]
+            step = max(1, _MATRIX_CELL_BUDGET // h)
+            for lo in range(0, h, step):
+                acc = _exact_dot_matrix(Hv[lo:lo + step], Hv)
+                den = Hsn[lo:lo + step][:, None] * Hsn[None, :]
+                cos = np.floor((acc / den) * 1e6 + 0.5) / 1e6
+                keep = (cos >= threshold) & (
+                    Hid[lo:lo + step][:, None] < Hid[None, :]
+                )
+                ai, bj = np.nonzero(keep)
+                if len(ai):
+                    outs.append(_pair_frame(Hid[lo:lo + step][ai], Hid[bj],
+                                            cos[keep], canonical=True))
         return _concat_pairs(outs, home_pdf["vid"].dtype)
 
     return score
@@ -692,6 +723,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_flips: int = 0,
+    supergroup_bits: int = 11,
 ) -> DataFrame:
     """Near-dup pairs (cos >= threshold) via multi-table sign-LSH.
 
@@ -704,6 +736,16 @@ def embedding_near_dup_pairs(
     bucket size, so one degenerate bucket (e.g. the all-zeros region) would
     otherwise dominate the whole job. The oversized-bucket set is tiny by
     construction -> broadcast anti-join, no extra big shuffle.
+
+    ``supergroup_bits`` caps the cogrouped Spark-level group count at
+    2^supergroup_bits per table (grouping on ``key >> (r - bits)``; exact
+    buckets are re-segmented inside the scorer, so pair semantics are
+    IDENTICAL at every value — at r <= bits the grouping is exactly the
+    per-bucket one). Rationale: the per-group Arrow/pandas machinery is the
+    fixed cost at high plane counts (r=16 -> 262k groups measured ~65 s at
+    10^6 vectors); the trade is rows-per-Spark-group, which grows by up to
+    2^(r - bits) — at extreme corpus sizes raise ``supergroup_bits`` toward
+    ``r`` to keep per-task group materialization bounded.
 
     ``multiprobe_flips`` lifts recall without more tables (the same trick
     that took the top-k side's recall@10 0.755 -> 0.949): the probe side is
@@ -809,23 +851,23 @@ def embedding_near_dup_pairs(
     home = keyed.select("vid", "v", "_sn", "table_id", "key")
     id_t = emb.schema[id_col].dataType.simpleString()
     out_schema = f"vec_a {id_t}, vec_b {id_t}, cos_sim double"
+    shift = max(0, r - max(0, supergroup_bits))
+    skey = F.shiftright(F.col("key"), shift).alias("_skey")
     if multiprobe_flips:
         probe = keyed.select(
             "vid", "v", "_sn", "table_id", F.explode("_pkeys").alias("key")
         )
         scored = (
-            probe.groupBy("table_id", "key")
-            .cogroup(home.groupBy("table_id", "key"))
+            probe.select("*", skey).groupBy("table_id", "_skey")
+            .cogroup(home.select("*", skey).groupBy("table_id", "_skey"))
             .applyInPandas(
-                _bucket_pair_scorer(
-                    float(threshold), max_bucket_size, self_pairs=False
-                ),
+                _bucket_pair_scorer(float(threshold), max_bucket_size),
                 schema=out_schema,
             )
         )
     else:
         scored = (
-            home.groupBy("table_id", "key")
+            home.select("*", skey).groupBy("table_id", "_skey")
             .applyInPandas(
                 _bucket_self_scorer(float(threshold), max_bucket_size),
                 schema=out_schema,

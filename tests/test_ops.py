@@ -502,3 +502,26 @@ def test_near_dup_bucket_cap_drops_oversized_buckets(spark):
         ).collect()
         assert len(full) == 15, f"flips={flips}"
         assert all(math.isclose(r["cos_sim"], 1.0) for r in full)
+
+
+def test_near_dup_supergroup_coarsening_is_invariant(spark, embs):
+    """r7: the cogroup groups on (table_id, key >> shift) with exact buckets
+    re-segmented inside the scorer — output must be IDENTICAL at every
+    supergroup_bits value, on both the multiprobe and the flips=0 path.
+    r=14 makes the default (bits=11) actually coarsen (shift=3), which the
+    r=8 oracle gates never exercise. Planted exact duplicates guarantee
+    every table has colliding buckets at any r."""
+    dup = embs.limit(300).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    corpus = embs.unionByName(dup)
+    kw = dict(dim=64, threshold=0.35, n_tables=2, planes_per_table=14)
+    for flips in (0, 2):
+        fine = {(r_["vec_a"], r_["vec_b"]): r_["cos_sim"]
+                for r_ in sim.embedding_near_dup_pairs(
+                    corpus, multiprobe_flips=flips, supergroup_bits=14, **kw
+                ).collect()}
+        coarse = {(r_["vec_a"], r_["vec_b"]): r_["cos_sim"]
+                  for r_ in sim.embedding_near_dup_pairs(
+                      corpus, multiprobe_flips=flips, **kw  # default bits=11
+                  ).collect()}
+        assert fine == coarse, f"flips={flips}: coarsening changed the output"
+        assert len(fine) >= 300, "planted duplicate pairs must be found"
