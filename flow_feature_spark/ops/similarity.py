@@ -415,10 +415,19 @@ def ivf_topk(
             scored_cells.append((-d, a + 1))
         scored_cells.sort()
         for _, cell in scored_cells[:nprobe]:
-            probe_rows.append((row["query_id"], row["qv"], cell))
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, qv array<float>, cell int"
+            probe_rows.append((row["query_id"], cell))
+    # r7: ship only (query_id, cell) through createDataFrame — the query
+    # VECTORS re-attach from the emb scan via a broadcast join (identical
+    # values; they were collected from the same rows). Serializing the
+    # n_queries x nprobe float arrays through py4j was ~0.45 s of pure
+    # driver time per call at 64-dim (guide §5: the driver should do
+    # almost no data work). The norms precompute mirrors cosine_topk.
+    cells = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qside = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_qsn"),
     )
+    probes = cells.join(qside, "query_id")
 
     # -- corpus cell assignment --------------------------------------------
     if n_anchors <= chunk_anchors:
@@ -451,6 +460,7 @@ def ivf_topk(
         # coalesce, identical results)
         keyed = based.select(
             "vid", "v",
+            F.sqrt(_norm2(F.col("v"))).alias("_csn"),
             F.coalesce(
                 F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
                 .cast("int"),
@@ -479,16 +489,23 @@ def ivf_topk(
             (-F.max("best")["negcell"]).cast("int").alias("cell")
         )
         keyed = emb.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+            F.sqrt(_norm2(F.col(vec_col))).alias("_csn"),
         ).join(assign, "vid")
 
     cand = (
         keyed.join(F.broadcast(probes), "cell")
         .filter(F.col("vid") != F.col("query_id"))
-        .select("query_id", F.col("vid").alias("cand_id"), "qv", "v")
+        .select(
+            "query_id", F.col("vid").alias("cand_id"), "qv", "v",
+            "_qsn", "_csn",
+        )
     )
     scored = cand.select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id", "cand_id",
+        _r6(
+            _dot(F.col("qv"), F.col("v")) / (F.col("_qsn") * F.col("_csn"))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
